@@ -1,0 +1,10 @@
+"""wisp_tpu — a TPU-native neural fields framework (JAX / XLA / Pallas).
+
+A ground-up rebuild of the capabilities of NVIDIAGameWorks/kaolin-wisp for TPU hardware:
+sparse morton-coded octree acceleration structures, a feature-grid zoo (hash / octree /
+triplanar / codebook), differentiable packed ray tracers re-expressed as fixed-shape masked XLA
+programs, neural-field models with channel-based forward dispatch, trainers, datasets, typed
+config system, and data-parallel scale-out over device meshes.
+"""
+
+__version__ = "0.1.0"
