@@ -1,0 +1,142 @@
+"""Kernel-vs-reference tests for grid interpolation ops.
+
+Mirrors the reference test strategy (tests/core/test_grid_interpolation.py:16-59,
+test_hashgrid_query.py): the op under test is checked against an independent analytic
+formulation, fwd + bwd, over dtypes with per-dtype tolerances.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wisp_tpu.ops import grid as grid_ops
+
+
+def _naive_trilinear(coords01, feats):
+    """Analytic trilinear blend, written independently of the op (loop form)."""
+    n = coords01.shape[0]
+    out = np.zeros((n, feats.shape[-1]), dtype=np.float64)
+    for i in range(n):
+        x, y, z = coords01[i]
+        c = 0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = ((x if dx else 1 - x) * (y if dy else 1 - y) * (z if dz else 1 - z))
+                    out[i] += w * feats[i, c]
+                    c += 1
+    return out
+
+
+class TestGridInterpolate:
+    @pytest.mark.parametrize("dtype,atol", [(jnp.float32, 1e-6), (jnp.bfloat16, 1e-2)])
+    def test_forward_matches_analytic(self, rng, dtype, atol):
+        coords = rng.random((32, 3)).astype(np.float32)
+        feats = rng.standard_normal((32, 8, 4)).astype(np.float32)
+        out = grid_ops.grid_interpolate(jnp.asarray(coords, dtype),
+                                        jnp.asarray(feats, dtype))
+        # corner order: bit k of corner index toggles dim (2-k) → dz fastest
+        expected = _naive_trilinear(coords, feats)
+        np.testing.assert_allclose(np.asarray(out, np.float64), expected,
+                                   atol=max(atol, 2e-2 if dtype == jnp.bfloat16 else atol))
+
+    def test_backward(self, rng):
+        coords = jnp.asarray(rng.random((16, 3)), jnp.float32)
+        feats = jnp.asarray(rng.standard_normal((16, 8, 2)), jnp.float32)
+
+        def loss(f):
+            return jnp.sum(grid_ops.grid_interpolate(coords, f) ** 2)
+
+        g = jax.grad(loss)(feats)
+        # numerical check on a few entries
+        eps = 1e-3
+        for (i, c, f) in [(0, 0, 0), (5, 3, 1), (15, 7, 0)]:
+            fp = feats.at[i, c, f].add(eps)
+            fm = feats.at[i, c, f].add(-eps)
+            num = (loss(fp) - loss(fm)) / (2 * eps)
+            np.testing.assert_allclose(float(g[i, c, f]), float(num), rtol=1e-2, atol=1e-3)
+
+
+class TestHashIndex:
+    def test_dense_when_fits(self):
+        cc = jnp.asarray([[1, 2, 3]], jnp.int32)
+        idx = grid_ops.hash_index(cc, res=4, codebook_size=256)  # 4^3=64 <= 256 → dense
+        assert int(idx[0]) == 1 + 2 * 4 + 3 * 16
+
+    def test_hash_when_overflow(self):
+        cc = jnp.asarray([[100, 200, 300]], jnp.int32)
+        idx = grid_ops.hash_index(cc, res=512, codebook_size=2 ** 12)
+        expected = (100 * 1 ^ (200 * 2654435761) % (2 ** 32) ^ (300 * 805459861) % (2 ** 32)) \
+            % (2 ** 32) % (2 ** 12)
+        assert int(idx[0]) == expected
+
+    def test_hash_in_range(self, rng):
+        cc = jnp.asarray(rng.integers(0, 2048, (1000, 3)), jnp.int32)
+        idx = grid_ops.hash_index(cc, res=2048, codebook_size=2 ** 14)
+        assert int(idx.min()) >= 0 and int(idx.max()) < 2 ** 14
+
+
+class TestHashgrid:
+    def _setup(self, rng, resolutions=(4, 8, 16), bitwidth=6, feature_dim=2):
+        cs = 2 ** bitwidth
+        sizes = [min(r ** 3, cs) for r in resolutions]
+        first = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        codebook = jnp.asarray(rng.standard_normal((sum(sizes), feature_dim)) * 0.01,
+                               jnp.float32)
+        return codebook, tuple(first.tolist()), tuple(sizes)
+
+    def test_shapes(self, rng):
+        codebook, first, sizes = self._setup(rng)
+        coords = jnp.asarray(rng.random((64, 3)) * 2 - 1, jnp.float32)
+        out = grid_ops.hashgrid(coords, (4, 8, 16), 6, 2, codebook, first, sizes)
+        assert out.shape == (64, 3 * 2)
+
+    def test_matches_manual_single_level(self, rng):
+        """One dense level: hashgrid must equal manual gather + trilinear blend."""
+        res = 4
+        codebook, first, sizes = self._setup(rng, resolutions=(res,), bitwidth=8)
+        coords = jnp.asarray(rng.random((32, 3)) * 2 - 1, jnp.float32)
+        out = grid_ops.hashgrid(coords, (res,), 8, 0, codebook, first, sizes)
+
+        x = np.clip((np.asarray(coords) + 1) / 2 * res, 0, res - 1 - 1e-5)
+        c0 = np.floor(x).astype(np.int64)
+        frac = x - c0
+        expected = np.zeros((32, 2))
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    cx, cy, cz = c0[:, 0] + dx, c0[:, 1] + dy, c0[:, 2] + dz
+                    idx = cx + cy * res + cz * res * res
+                    w = ((frac[:, 0] if dx else 1 - frac[:, 0]) *
+                         (frac[:, 1] if dy else 1 - frac[:, 1]) *
+                         (frac[:, 2] if dz else 1 - frac[:, 2]))
+                    expected += np.asarray(codebook)[idx] * w[:, None]
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+    def test_gradients_flow_to_codebook(self, rng):
+        codebook, first, sizes = self._setup(rng)
+        coords = jnp.asarray(rng.random((64, 3)) * 2 - 1, jnp.float32)
+
+        def loss(cb):
+            return jnp.sum(grid_ops.hashgrid(coords, (4, 8, 16), 6, 2, cb, first, sizes) ** 2)
+
+        g = jax.grad(loss)(codebook)
+        assert g.shape == codebook.shape
+        assert float(jnp.sum(jnp.abs(g))) > 0
+
+    def test_2d(self, rng):
+        res = (8, 16)
+        cs = 2 ** 6
+        sizes = tuple(min(r ** 2, cs) for r in res)
+        first = (0, sizes[0])
+        codebook = jnp.asarray(rng.standard_normal((sum(sizes), 2)), jnp.float32)
+        coords = jnp.asarray(rng.random((10, 2)) * 2 - 1, jnp.float32)
+        out = grid_ops.hashgrid(coords, res, 6, 1, codebook, first, sizes)
+        assert out.shape == (10, 4)
+
+    def test_hashgrid_query_corners(self, rng):
+        codebook, first, sizes = self._setup(rng, resolutions=(4,), bitwidth=8)
+        coords = jnp.asarray(rng.random((5, 3)) * 2 - 1, jnp.float32)
+        out = grid_ops.hashgrid_query(coords, (4,), 8, 0, codebook, first, sizes)
+        assert out.shape == (5, 1, 8, 2)

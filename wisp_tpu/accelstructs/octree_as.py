@@ -1,0 +1,353 @@
+"""OctreeAS — sparse octree bottom-level acceleration structure.
+
+Counterpart of reference wisp/accelstructs/octree_as.py:37-441 (which wraps kaolin SPC CUDA).
+TPU-native redesign:
+
+* **Topology** = per-level sorted morton code tables (+ decoded integer coords), built
+  host-side (numpy) at construction/pruning cadence. Point queries are vectorized binary
+  searches; the reference's octree-byte bit-walking (kaolin unbatched_query) has no
+  XLA-friendly analog.
+* **Hot-path occupancy** = dense bool bitfield at max_level (instant-ngp style occupancy
+  grid): a single gather per sample, feeding the masked rectangular ray marchers.
+* **Raytrace** = branchless 3D-DDA as a ``lax.scan`` vmapped over rays, emitting fixed-capacity
+  interval buffers (reference returns variable-length packed nuggets via kaolin
+  spc_render.unbatched_raytrace).
+* **Raymarch** = masked rectangular sample grids [R, S] — the fixed-shape reformulation of the
+  reference's three packed marchers (SURVEY.md §7 'hard parts' #1):
+  - 'ray': uniform depths in the ray's AABB span, occupancy-masked
+    (reference _raymarch_ray, octree_as.py:247-309 — same semantics, compaction skipped).
+  - 'voxel': uniform depths at voxel_size/num_samples spacing, occupancy-masked, sample budget
+    capped (reference _raymarch_voxel samples exactly num_samples per intersected voxel).
+  - 'uniform': equi-spaced global step (reference _raymarch_uniform, octree_as.py:311-374).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wisp_tpu.accelstructs.base_as import (ASQueryResults, ASRaymarchResults,
+                                           ASRaytraceResults, BaseAS)
+from wisp_tpu.core.module import Module
+from wisp_tpu.core.rays import Rays
+from wisp_tpu.ops.spc.core import (MAX_OCTREE_LEVEL, build_level_table, dilate_points,
+                                   morton3d, morton_to_points, points_to_morton,
+                                   quantize_points, quantize_points_jnp)
+
+
+class MeshExtent:
+    """Host-side mesh payload attached to a from_mesh octree (reference keeps the mesh in
+    blas.extent for SDF dataset GT generation). Deliberately NOT a pytree — the mesh never
+    enters jit."""
+
+    def __init__(self, vertices: np.ndarray, faces: np.ndarray):
+        self.vertices = vertices
+        self.faces = faces
+
+
+class OctreeAS(Module, BaseAS):
+    def __init__(self, codes_per_level: List[np.ndarray], dense: bool = False):
+        """Build from per-level sorted morton code arrays (level 0 .. max_level)."""
+        self.max_level = len(codes_per_level) - 1
+        assert self.max_level <= MAX_OCTREE_LEVEL
+        self.dense = dense
+        self.level_counts = tuple(int(len(c)) for c in codes_per_level)
+
+        if dense:
+            # Dense topology is implicit (cell index == morton code); keep no tables.
+            self.codes = None
+            self.points = None
+            self.occ_grid = None
+        else:
+            self.codes = [jnp.asarray(c.astype(np.uint32)) for c in codes_per_level]
+            self.points = [jnp.asarray(morton_to_points(c)) for c in codes_per_level]
+            res = 2 ** self.max_level
+            occ = np.zeros(res ** 3, dtype=bool)
+            leaf_pts = morton_to_points(codes_per_level[-1]).astype(np.int64)
+            flat = (leaf_pts[:, 0] * res + leaf_pts[:, 1]) * res + leaf_pts[:, 2]
+            occ[flat] = True
+            self.occ_grid = jnp.asarray(occ)
+
+    # -- constructors (reference octree_as.py:42-144) -----------------------------------------
+    @classmethod
+    def from_quantized_points(cls, quantized_points: np.ndarray, level: int) -> "OctreeAS":
+        codes_per_level, _ = build_level_table(np.asarray(quantized_points), level)
+        return cls(codes_per_level)
+
+    @classmethod
+    def from_pointcloud(cls, pointcloud: np.ndarray, level: int,
+                        dilate: int = 0) -> "OctreeAS":
+        """Occupied cells = cells containing pointcloud points (reference octree_as.py:109-121),
+        optionally dilated (26-neighborhood) ``dilate`` times."""
+        q = quantize_points(np.asarray(pointcloud), level)
+        for _ in range(dilate):
+            q = dilate_points(q, level)
+        return cls.from_quantized_points(q, level)
+
+    @classmethod
+    def from_mesh(cls, mesh_path: str, level: int, sample_tex: bool = False,
+                  num_samples: int = 100_000_000) -> "OctreeAS":
+        """Surface-sample a mesh and build the octree over occupied cells
+        (reference octree_as.py:66-106; sampling count default 100M there)."""
+        from wisp_tpu.ops.mesh import load_obj, normalize, sample_surface
+        out = load_obj(mesh_path, load_materials=sample_tex)
+        vertices, faces = out[0], out[1]
+        vertices, faces = normalize(vertices, faces, "sphere")
+        samples = sample_surface(vertices, faces, num_samples)
+        # jitter-augment like the reference (conversions.py:91-109) to close pinholes
+        rng = np.random.default_rng(0)
+        jitter = (rng.random(samples.shape).astype(np.float32) * 2 - 1) * (1.0 / (2 ** level))
+        pts = np.concatenate([samples, samples + jitter])
+        pts = np.clip(pts, -1.0, 1.0 - 1e-6)
+        blas = cls.from_quantized_points(quantize_points(pts, level), level)
+        blas.extent = MeshExtent(vertices, faces)
+        return blas
+
+    @classmethod
+    def make_dense(cls, level: int) -> "OctreeAS":
+        """Fully-occupied octree (reference octree_as.py:136-144). Implicit topology: every
+        query hits, pidx == morton code."""
+        obj = cls.__new__(cls)
+        obj.max_level = level
+        obj.dense = True
+        obj.level_counts = tuple(8 ** l for l in range(level + 1))
+        obj.codes = None
+        obj.points = None
+        obj.occ_grid = None
+        return obj
+
+    # -- query (reference octree_as.py:146-163) -----------------------------------------------
+    def query(self, coords, level: Optional[int] = None,
+              with_parents: bool = False) -> ASQueryResults:
+        """Point -> cell index at ``level`` (level-local index into the sorted code table;
+        -1 = unoccupied). ``with_parents`` returns [N, level+1] indices for the full ancestor
+        chain (kaolin unbatched_query semantics)."""
+        if level is None:
+            level = self.max_level
+        q = quantize_points_jnp(coords, level)
+        code = morton3d(q)
+        levels = range(level + 1) if with_parents else [level]
+        out = []
+        for l in levels:
+            c = (code >> jnp.uint32(3 * (level - l))).astype(jnp.uint32)
+            if self.dense:
+                pidx = c.astype(jnp.int32)
+            else:
+                table = self.codes[l]
+                i = jnp.searchsorted(table, c)
+                i = jnp.clip(i, 0, table.shape[0] - 1)
+                found = table[i] == c
+                pidx = jnp.where(found, i.astype(jnp.int32), -1)
+            out.append(pidx)
+        pidx = jnp.stack(out, axis=-1) if with_parents else out[0]
+        # outside [-1,1]^3 is always a miss
+        inside = jnp.all((coords >= -1.0) & (coords <= 1.0), axis=-1)
+        if with_parents:
+            pidx = jnp.where(inside[:, None], pidx, -1)
+        else:
+            pidx = jnp.where(inside, pidx, -1)
+        return ASQueryResults(pidx=pidx)
+
+    def occupancy_at(self, coords) -> jax.Array:
+        """Fast boolean occupancy test at max_level (one gather) — the RF hot path."""
+        if self.dense:
+            return jnp.all((coords >= -1.0) & (coords < 1.0), axis=-1)
+        res = 2 ** self.max_level
+        q = quantize_points_jnp(coords, self.max_level)
+        flat = (q[..., 0] * res + q[..., 1]) * res + q[..., 2]
+        inside = jnp.all((coords >= -1.0) & (coords < 1.0), axis=-1)
+        return jnp.where(inside, self.occ_grid[flat], False)
+
+    # -- AABB intersection helper -------------------------------------------------------------
+    @staticmethod
+    def aabb_intersect(rays: Rays) -> Tuple[jax.Array, jax.Array]:
+        """Slab test against [-1,1]^3 -> (t_near, t_far) per ray; t_near > t_far = miss."""
+        d = jnp.where(jnp.abs(rays.dirs) > 1e-9, rays.dirs, 1e-9)
+        inv = 1.0 / d
+        t0 = (-1.0 - rays.origins) * inv
+        t1 = (1.0 - rays.origins) * inv
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        t_near = jnp.maximum(t_near, jnp.asarray(rays.dist_min, t_near.dtype))
+        t_far = jnp.minimum(t_far, jnp.asarray(rays.dist_max, t_far.dtype))
+        return t_near, t_far
+
+    # -- raytrace (reference octree_as.py:165-186) ---------------------------------------------
+    def raytrace(self, rays: Rays, level: Optional[int] = None, with_exit: bool = False,
+                 capacity: int = 64, max_steps: Optional[int] = None) -> ASRaytraceResults:
+        """3D-DDA traversal at ``level`` emitting up to ``capacity`` occupied-cell intervals
+        per ray (entry/exit depths always computed; the reference's with_exit flag is
+        vestigial here)."""
+        if level is None:
+            level = self.max_level
+        res = 2 ** level
+        voxel = 2.0 / res
+        if max_steps is None:
+            max_steps = 3 * res + 2
+
+        t_near, t_far = self.aabb_intersect(rays)
+        t_near = jnp.maximum(t_near, 0.0)
+        shift = level  # bits to drop from max_level morton for this level's table
+
+        def occupied(iv):
+            inb = jnp.all((iv >= 0) & (iv < res))
+            if self.dense:
+                return inb, morton3d(iv).astype(jnp.int32)
+            code = morton3d(iv)
+            table = self.codes[level]
+            i = jnp.searchsorted(table, code)
+            i = jnp.clip(i, 0, table.shape[0] - 1)
+            found = jnp.logical_and(inb, table[i] == code)
+            return found, jnp.where(found, i.astype(jnp.int32), -1)
+
+        def trace_one(o, d, tn, tf):
+            d_safe = jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
+            start = o + (tn + 1e-6) * d
+            iv0 = jnp.clip(jnp.floor((start + 1.0) / voxel).astype(jnp.int32), 0, res - 1)
+            step = jnp.where(d_safe > 0, 1, -1)
+            # parametric t at which the ray crosses the next boundary per axis
+            next_bound = (iv0 + (step > 0)) * voxel - 1.0
+            t_max = (next_bound - o) / d_safe
+            t_delta = jnp.abs(voxel / d_safe)
+
+            buf_pidx = jnp.full((capacity,), -1, jnp.int32)
+            buf_tin = jnp.zeros((capacity,), jnp.float32)
+            buf_tout = jnp.zeros((capacity,), jnp.float32)
+
+            def body(carry, _):
+                iv, t_max_c, t_cur, ptr, bp, bi, bo, alive = carry
+                axis = jnp.argmin(t_max_c)
+                t_next = jnp.minimum(t_max_c[axis], tf)
+                occ, pidx = occupied(iv)
+                write = jnp.logical_and(jnp.logical_and(alive, occ), ptr < capacity)
+                widx = jnp.where(write, ptr, capacity - 1)
+                bp = jnp.where(write, bp.at[widx].set(pidx), bp)
+                bi = jnp.where(write, bi.at[widx].set(t_cur), bi)
+                bo = jnp.where(write, bo.at[widx].set(t_next), bo)
+                ptr = ptr + write.astype(jnp.int32)
+                iv = iv.at[axis].add(step[axis])
+                t_max_c = t_max_c.at[axis].add(t_delta[axis])
+                alive = jnp.logical_and(alive, t_next < tf)
+                alive = jnp.logical_and(alive, jnp.all((iv >= 0) & (iv < res)))
+                return (iv, t_max_c, t_next, ptr, bp, bi, bo, alive), None
+
+            init = (iv0, t_max, jnp.maximum(tn, 0.0), jnp.int32(0),
+                    buf_pidx, buf_tin, buf_tout, tf > tn)
+            (iv, t_max_c, t_cur, ptr, bp, bi, bo, alive), _ = jax.lax.scan(
+                body, init, None, length=max_steps)
+            return bp, bi, bo, ptr
+
+        bp, bi, bo, nint = jax.vmap(trace_one)(rays.origins, rays.dirs, t_near, t_far)
+        mask = bp >= 0
+        return ASRaytraceResults(pidx=bp, t_entry=bi, t_exit=bo, mask=mask)
+
+    # -- raymarch (reference octree_as.py:188-374) ---------------------------------------------
+    def raymarch(self, rays: Rays, raymarch_type: str = "voxel", num_samples: int = 64,
+                 level: Optional[int] = None, key=None) -> ASRaymarchResults:
+        if level is None:
+            level = self.max_level
+        if raymarch_type == "ray":
+            return self._raymarch_ray(rays, num_samples, key)
+        elif raymarch_type == "voxel":
+            return self._raymarch_voxel(rays, num_samples, level, key)
+        elif raymarch_type == "uniform":
+            return self._raymarch_uniform(rays, num_samples, key)
+        raise ValueError(f"Unknown raymarch_type {raymarch_type!r}")
+
+    def _sample_grid(self, rays: Rays, depths: jax.Array) -> ASRaymarchResults:
+        coords = rays.origins[:, None, :] + rays.dirs[:, None, :] * depths[..., None]
+        occ = self.occupancy_at(coords)
+        deltas = jnp.diff(depths, axis=-1,
+                          append=depths[:, -1:] + (depths[:, -1:] - depths[:, -2:-1]))
+        return ASRaymarchResults(samples=coords, depth_samples=depths, deltas=deltas,
+                                 mask=occ)
+
+    def _raymarch_ray(self, rays: Rays, num_samples: int, key) -> ASRaymarchResults:
+        """Uniform (optionally jittered) samples over the ray's AABB span, occupancy-masked
+        (reference octree_as.py:247-309; compaction replaced by masking)."""
+        t_near, t_far = self.aabb_intersect(rays)
+        t_near = jnp.maximum(t_near, 0.0)
+        span = jnp.maximum(t_far - t_near, 0.0)
+        u = jnp.arange(num_samples, dtype=jnp.float32)[None, :]
+        if key is not None:
+            u = u + jax.random.uniform(key, (rays.origins.shape[0], num_samples))
+        else:
+            u = u + 0.5
+        depths = t_near[:, None] + span[:, None] * (u / num_samples)
+        result = self._sample_grid(rays, depths)
+        hit = (t_far > t_near)[:, None]
+        return ASRaymarchResults(samples=result.samples, depth_samples=result.depth_samples,
+                                 deltas=span[:, None] / num_samples,
+                                 mask=result.mask & hit)
+
+    def _raymarch_voxel(self, rays: Rays, num_samples: int, level: int,
+                        key, budget: int = 1024) -> ASRaymarchResults:
+        """Samples at voxel_size/num_samples spacing, capped at ``budget`` samples/ray
+        (the fixed-shape analog of num_samples-per-intersected-voxel,
+        reference octree_as.py:188-245)."""
+        res = 2 ** level
+        step = (2.0 / res) / num_samples
+        t_near, t_far = self.aabb_intersect(rays)
+        t_near = jnp.maximum(t_near, 0.0)
+        s = min(budget, int(np.ceil(2 * np.sqrt(3) / step)))
+        u = jnp.arange(s, dtype=jnp.float32)[None, :]
+        if key is not None:
+            u = u + jax.random.uniform(key, (rays.origins.shape[0], s))
+        else:
+            u = u + 0.5
+        depths = t_near[:, None] + u * step
+        result = self._sample_grid(rays, depths)
+        valid = depths < t_far[:, None]
+        return ASRaymarchResults(samples=result.samples, depth_samples=depths,
+                                 deltas=jnp.full_like(depths, step),
+                                 mask=result.mask & valid)
+
+    def _raymarch_uniform(self, rays: Rays, num_samples: int, key) -> ASRaymarchResults:
+        """Equi-spaced global step over the whole AABB diagonal
+        (reference octree_as.py:311-374)."""
+        diag = 2.0 * float(np.sqrt(3))
+        step = diag / num_samples
+        t_near, t_far = self.aabb_intersect(rays)
+        t_near = jnp.maximum(t_near, 0.0)
+        u = jnp.arange(num_samples, dtype=jnp.float32)[None, :]
+        if key is not None:
+            u = u + jax.random.uniform(key, (rays.origins.shape[0], num_samples))
+        else:
+            u = u + 0.5
+        depths = t_near[:, None] + u * step
+        result = self._sample_grid(rays, depths)
+        valid = depths < t_far[:, None]
+        return ASRaymarchResults(samples=result.samples, depth_samples=depths,
+                                 deltas=jnp.full_like(depths, step),
+                                 mask=result.mask & valid)
+
+    # -- stats (reference octree_as.py:431-441) ------------------------------------------------
+    def occupancy(self) -> List[int]:
+        return list(self.level_counts)
+
+    def capacity(self) -> List[int]:
+        return [8 ** l for l in range(self.max_level + 1)]
+
+    def num_cells_at_max_level(self) -> int:
+        return self.level_counts[-1]
+
+    def get_level_points(self, level: int):
+        """Occupied cell coords at a level (kaolin unbatched_get_level_points)."""
+        if self.dense:
+            res = 2 ** level
+            g = np.stack(np.meshgrid(*([np.arange(res)] * 3), indexing="ij"),
+                         axis=-1).reshape(-1, 3)
+            return jnp.asarray(g[np.argsort(points_to_morton(g))])  # morton order
+        return self.points[level]
+
+    def name(self) -> str:
+        return "Octree"
+
+    def public_properties(self) -> Dict[str, Any]:
+        occupancy_pct = self.level_counts[-1] / max(8 ** self.max_level, 1)
+        return {"Max level": self.max_level, "Dense": self.dense,
+                "Occupied cells": self.level_counts[-1],
+                "Occupancy %": f"{100 * occupancy_pct:.2f}"}

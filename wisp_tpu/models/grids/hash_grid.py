@@ -1,0 +1,150 @@
+"""HashGrid — instant-ngp style multiresolution hash feature grid.
+
+Counterpart of reference wisp/models/grids/hash_grid.py:20-265. Features live in a single flat
+MultiTable parameter; interpolation runs through wisp_tpu.ops.grid.hashgrid (gather + blend
+fused by XLA; the reference used one CUDA launch per LOD with atomicAdd backward).
+
+Reference quirks replicated exactly:
+* the kernel computes ALL LODs regardless of lod_idx (reference ops/grid.py:91 "TODO ... use
+  the LOD"); 'cat' then zeroes features from column lod_idx*feature_dim on
+  (hash_grid.py:226-229), 'sum' reduces over all LODs (hash_grid.py:230-231).
+* per-LOD table size = min(res^d, 2^bitwidth) with dense indexing when the level fits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wisp_tpu.models.grids.blas_grid import BLASGrid
+from wisp_tpu.models.grids.utils import MultiTable
+from wisp_tpu.ops import grid as grid_ops
+
+
+class HashGrid(BLASGrid):
+    def __init__(self,
+                 blas=None,
+                 feature_dim: int = 2,
+                 resolutions: Sequence[int] = (16, 32, 64, 128),
+                 multiscale_type: str = "sum",
+                 feature_std: float = 0.0,
+                 feature_bias: float = 0.0,
+                 codebook_bitwidth: int = 8,
+                 coord_dim: int = 3,
+                 *,
+                 key=None):
+        assert coord_dim in (2, 3)
+        self.blas = blas
+        self.feature_dim = feature_dim
+        self.multiscale_type = multiscale_type
+        self.feature_std = feature_std
+        self.feature_bias = feature_bias
+        self.codebook_bitwidth = codebook_bitwidth
+        self.codebook_size = 2 ** codebook_bitwidth
+        self.coord_dim = coord_dim
+
+        self.resolutions = tuple(int(r) for r in resolutions)
+        self.num_lods = len(self.resolutions)
+        self.active_lods = tuple(range(self.num_lods))
+        self.max_lod = self.num_lods - 1
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        self.codebook = MultiTable(self.resolutions, coord_dim, feature_dim,
+                                   std=feature_std, max_feats=self.codebook_size,
+                                   mean=feature_bias, key=key)
+
+        # Occupancy tracking for pruning (reference hash_grid.py:63-68): dense cell centers at
+        # the BLAS's max level + a decaying occupancy score per cell.
+        if blas is not None and hasattr(blas, "max_level"):
+            self.occupancy = jnp.zeros((blas.num_cells_at_max_level(),), jnp.float32)
+        else:
+            self.occupancy = None
+
+    # -- constructors (reference hash_grid.py:88-192) ----------------------------------------
+    @classmethod
+    def from_octree(cls, blas=None, feature_dim: int = 2, base_lod: int = 2,
+                    num_lods: int = 1, multiscale_type: str = "sum",
+                    feature_std: float = 0.0, feature_bias: float = 0.0,
+                    codebook_bitwidth: int = 8, coord_dim: int = 3, *, key=None) -> "HashGrid":
+        """Octree sampling pattern: resolutions 2^(base_lod) .. 2^(base_lod+num_lods-1)."""
+        octree_lods = [base_lod + x for x in range(num_lods)]
+        resolutions = [2 ** lod for lod in octree_lods]
+        return cls(blas=blas, feature_dim=feature_dim, resolutions=resolutions,
+                   multiscale_type=multiscale_type, feature_std=feature_std,
+                   feature_bias=feature_bias, codebook_bitwidth=codebook_bitwidth,
+                   coord_dim=coord_dim, key=key)
+
+    @classmethod
+    def from_geometric(cls, blas=None, feature_dim: int = 2, num_lods: int = 16,
+                       multiscale_type: str = "sum", feature_std: float = 0.0,
+                       feature_bias: float = 0.0, codebook_bitwidth: int = 8,
+                       min_grid_res: int = 16, max_grid_res: int = 2048,
+                       coord_dim: int = 3, *, key=None) -> "HashGrid":
+        """Geometric b-growth per instant-ngp Section 3 eq. 2-3
+        (reference hash_grid.py:124-162)."""
+        b = np.exp((np.log(max_grid_res) - np.log(min_grid_res)) / (num_lods - 1))
+        resolutions = [int(np.floor(min_grid_res * (b ** l))) for l in range(num_lods)]
+        return cls(blas=blas, feature_dim=feature_dim, resolutions=resolutions,
+                   multiscale_type=multiscale_type, feature_std=feature_std,
+                   feature_bias=feature_bias, codebook_bitwidth=codebook_bitwidth,
+                   coord_dim=coord_dim, key=key)
+
+    @classmethod
+    def from_resolutions(cls, blas=None, feature_dim: int = 2,
+                         resolutions: Optional[Sequence[int]] = None,
+                         multiscale_type: str = "sum", feature_std: float = 0.0,
+                         feature_bias: float = 0.0, codebook_bitwidth: int = 8,
+                         coord_dim: int = 3, *, key=None) -> "HashGrid":
+        assert resolutions is not None, \
+            "HashGrid.from_resolutions() cannot accept a None resolutions arg."
+        return cls(blas=blas, feature_dim=feature_dim, resolutions=resolutions,
+                   multiscale_type=multiscale_type, feature_std=feature_std,
+                   feature_bias=feature_bias, codebook_bitwidth=codebook_bitwidth,
+                   coord_dim=coord_dim, key=key)
+
+    # -- feature lookup (reference hash_grid.py:205-233) --------------------------------------
+    def interpolate(self, coords, lod_idx):
+        output_shape = coords.shape[:-1]
+        flat = coords.reshape(-1, coords.shape[-1])
+        feats = grid_ops.hashgrid(
+            flat, self.codebook.resolutions, self.codebook_bitwidth,
+            self.num_lods - 1,  # kernel computes all LODs (reference quirk)
+            self.codebook.feats, self.codebook.begin_idxes, self.codebook.num_feats)
+        if self.multiscale_type == "cat":
+            feats = feats.reshape(*output_shape, feats.shape[-1])
+            mask = (np.arange(self.num_lods * self.feature_dim)
+                    < lod_idx * self.feature_dim)
+            return feats * jnp.asarray(mask, dtype=feats.dtype)
+        elif self.multiscale_type == "sum":
+            return feats.reshape(*output_shape, self.num_lods,
+                                 self.feature_dim).sum(-2)
+        raise NotImplementedError(self.multiscale_type)
+
+    def raymarch(self, rays, raymarch_type, num_samples, level=None):
+        """Raymarch over the BLAS's finest level (reference hash_grid.py:235-240)."""
+        return self.blas.raymarch(rays, raymarch_type=raymarch_type,
+                                  num_samples=num_samples, level=self.blas.max_level)
+
+    @classmethod
+    def supported_blas(cls):
+        from wisp_tpu.accelstructs import OctreeAS, AxisAlignedBBoxAS
+        return [OctreeAS, AxisAlignedBBoxAS]
+
+    def name(self) -> str:
+        return "Hash Grid"
+
+    def public_properties(self) -> Dict[str, Any]:
+        props = super().public_properties()
+        props.update({
+            "Feature Dims": self.feature_dim,
+            "Total LODs": self.max_lod,
+            "Active feature LODs": f"{self.active_lods[0]} - {self.active_lods[-1]}",
+            "Interpolation": "linear",
+            "Multiscale aggregation": self.multiscale_type,
+            "HashTable Size": f"2^{self.codebook_bitwidth}",
+        })
+        return props

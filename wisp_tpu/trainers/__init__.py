@@ -1,0 +1,2 @@
+from wisp_tpu.trainers.base_trainer import BaseTrainer, ConfigBaseTrainer, load_pipeline
+from wisp_tpu.trainers.image_trainer import ImageTrainer

@@ -1,0 +1,402 @@
+"""BaseTrainer — training lifecycle + optimization state.
+
+Counterpart of reference wisp/trainers/base_trainer.py:24-586. The lifecycle (pre_training →
+[pre_epoch → [pre_step → step → post_step]* → post_epoch → validate?]* → post_training) and
+``iterate()`` single-step driver are preserved, but the hot path is re-architected for TPU:
+
+* the whole optimization step — forward, loss, backward, optimizer update — is ONE jitted
+  function built once (``_build_step``), with the pipeline partitioned into differentiable
+  leaves (donated, updated on device) and static structure. One host↔device round trip per
+  step; eager-op dispatch is off the hot path entirely (critical on TPU: each eager op costs a
+  tunnel round trip).
+* param groups: the reference's named_parameters split by 'decoder'/'grid' substring
+  (base_trainer.py:205-246) becomes an optax.multi_transform keyed on pytree paths —
+  decoder params get weight_decay, grid params get lr × grid_lr_weight.
+* AMP (torch GradScaler + autocast, base_trainer.py:240,338) becomes bf16 compute policy —
+  no loss scaling needed for bf16 (same exponent range as fp32).
+* MultiStepLR → optax piecewise_constant_schedule on milestone iteration ratios.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import pickle
+import time
+from abc import ABC, abstractmethod
+from functools import partial
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import optax
+
+from wisp_tpu.config.presets import ConfigAdam, ConfigRMSprop, ConfigSGD, ConfigDataloader
+from wisp_tpu.config.utils import configure, instantiate
+from wisp_tpu.framework.state import WispState
+from wisp_tpu.trainers.tracker.tracker import Tracker
+from wisp_tpu.utils.filter import TreeSpec, is_inexact_array
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ConfigBaseTrainer:
+    """Trainer config (reference base_trainer.py:24-87)."""
+    optimizer: Union[ConfigAdam, ConfigRMSprop, ConfigSGD] = \
+        dataclasses.field(default_factory=ConfigAdam)
+    dataloader: ConfigDataloader = dataclasses.field(default_factory=ConfigDataloader)
+    exp_name: str = "wisp_experiment"
+    mode: str = "train"  # 'train' | 'validate'
+    max_epochs: int = 250
+    save_every: int = -1
+    save_as_new: bool = False
+    model_format: str = "full"  # 'full' | 'state_dict'
+    render_every: int = 100
+    valid_every: int = -1
+    valid_split: str = "test"
+    enable_amp: bool = True
+    profile: bool = False
+    grid_lr_weight: float = 1.0
+    scheduler: bool = False
+    scheduler_milestones: Tuple[float, ...] = (0.5, 0.75, 0.9)
+    scheduler_gamma: float = 0.333
+    valid_metrics: Tuple[str, ...] = ("psnr",)
+    random_seed: int = 0
+
+
+class BaseTrainer(ABC):
+    def __init__(self,
+                 cfg: ConfigBaseTrainer,
+                 pipeline,
+                 train_dataset,
+                 tracker: Optional[Tracker] = None,
+                 scene_state: Optional[WispState] = None,
+                 device=None):
+        self.cfg = cfg
+        self.pipeline = pipeline
+        self.train_dataset = train_dataset
+        if tracker is None:
+            from wisp_tpu.trainers.tracker.tracker import ConfigTracker
+            tracker = Tracker(cfg=ConfigTracker(), exp_name=cfg.exp_name)
+        self.tracker = tracker
+        self.scene_state = scene_state if scene_state is not None else WispState()
+        self.device = device if device is not None else jax.devices()[0]
+
+        self.max_epochs = cfg.max_epochs
+        self.scene_state.optimization.max_epochs = cfg.max_epochs
+        self.epoch = 1
+        self.iteration = 0
+        self.iterations_per_epoch = len(train_dataset)
+        self.scene_state.optimization.iterations_per_epoch = self.iterations_per_epoch
+
+        self._key = jax.random.PRNGKey(cfg.random_seed)
+        self.return_dict: Dict[str, Any] = {}
+        self._data_iter = None
+        self.epoch_start_time = None
+
+        # Scene graph registration happens even headless (reference base_trainer.py:195).
+        self.scene_state.graph.neural_pipelines[cfg.exp_name] = pipeline
+        self.scene_state.graph.visible_objects[cfg.exp_name] = True
+
+        self.init_optimizer()
+        self._step_fn = None  # built lazily after subclass init completes
+        self._pre_training_done = False
+
+    # ---------------------------------------------------------------------------------------
+    # Optimizer
+    # ---------------------------------------------------------------------------------------
+    def _param_group(self, path_str: str) -> str:
+        """'decoder' / 'grid' / 'rest' by pytree path substring
+        (reference base_trainer.py:211-231)."""
+        if "decoder" in path_str:
+            return "decoder"
+        if "grid" in path_str or "codebook" in path_str or "feats" in path_str:
+            return "grid"
+        return "rest"
+
+    def _lr_schedule(self, base_lr: float):
+        if not self.cfg.scheduler:
+            return base_lr
+        max_steps = self.iterations_per_epoch * self.cfg.max_epochs
+        boundaries = {}
+        for m in self.cfg.scheduler_milestones:
+            boundaries[int(max_steps * m)] = self.cfg.scheduler_gamma
+        return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+    def init_optimizer(self) -> None:
+        cfg_opt = self.cfg.optimizer
+        lr = cfg_opt.lr
+        weight_decay = getattr(cfg_opt, "weight_decay", 0.0)
+
+        def make(lr_value, wd):
+            c = dataclasses.replace(cfg_opt, lr=self._lr_schedule(lr_value))
+            if hasattr(c, "weight_decay"):
+                c = dataclasses.replace(c, weight_decay=wd)
+            return instantiate(c)
+
+        transforms = {
+            "decoder": make(lr, weight_decay),
+            "grid": make(lr * self.cfg.grid_lr_weight, 0.0),
+            "rest": make(lr, 0.0),
+        }
+
+        # Flatten the pipeline once: trainable (inexact) leaves become a path-keyed dict of
+        # arrays — a plain-dict params pytree that optax labels/group transforms operate on
+        # directly — while structural array leaves ride along untouched.
+        self._spec = TreeSpec(self.pipeline)
+        self._diff = dict(self._spec.diff)
+        self._nondiff = dict(self._spec.nondiff)
+        labels = {p: self._param_group(p) for p in self._diff}
+        self.optimizer = optax.multi_transform(transforms, labels)
+        self.opt_state = self.optimizer.init(self._diff)
+
+    # ---------------------------------------------------------------------------------------
+    # Jitted step construction
+    # ---------------------------------------------------------------------------------------
+    @abstractmethod
+    def compute_loss(self, pipeline, batch, key):
+        """Pure loss: returns (scalar_loss, aux_metrics_dict). Must only read static config
+        from self (traced once)."""
+
+    def _build_step(self):
+        optimizer = self.optimizer
+        compute_loss = self.compute_loss
+        spec = self._spec
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step_fn(diff, opt_state, nondiff, batch, key):
+            def inner(d):
+                pipeline = spec.unflatten(d, nondiff)
+                return compute_loss(pipeline, batch, key)
+
+            (loss, aux), grads = jax.value_and_grad(inner, has_aux=True)(diff)
+            updates, opt_state = optimizer.update(grads, opt_state, diff)
+            diff = optax.apply_updates(diff, updates)
+            return diff, opt_state, loss, aux
+
+        return step_fn
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ---------------------------------------------------------------------------------------
+    # Lifecycle (reference base_trainer.py:89-125, 316-342)
+    # ---------------------------------------------------------------------------------------
+    @property
+    def is_optimization_running(self) -> bool:
+        return self.scene_state.optimization.running
+
+    @is_optimization_running.setter
+    def is_optimization_running(self, value: bool):
+        self.scene_state.optimization.running = value
+
+    def is_first_iteration(self) -> bool:
+        return not self._pre_training_done
+
+    def is_any_iterations_remaining(self) -> bool:
+        return self.is_optimization_running
+
+    @property
+    def total_iterations(self) -> int:
+        return (self.epoch - 1) * self.iterations_per_epoch + self.iteration
+
+    def pre_training(self):
+        """Runs once before the first step (reference base_trainer.py:380-395)."""
+        self.tracker.metrics.define_metric("total_loss", aggregation_type=float)
+        app_config = self.tracker.get_app_config()
+        if app_config is not None:
+            from wisp_tpu.config.utils import write_config_to_yaml
+            write_config_to_yaml(app_config, os.path.join(self.tracker.log_dir, "config.yaml"))
+        self.log_model_details()
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+
+    def post_training(self):
+        self.sync_pipeline()
+        self.tracker.teardown()
+        log.info("Training completed.")
+
+    def pre_epoch(self):
+        pass
+
+    def post_epoch(self):
+        """Epoch bookkeeping: console log, dashboards, optional snapshot/save
+        (reference base_trainer.py:420-447)."""
+        self.sync_pipeline()
+        self.log_console()
+        self.log_tracker()
+        self.tracker.metrics.finalize_epoch(self.scene_state)
+        if self.is_time_to_render():
+            self.render_snapshot()
+        if self.is_time_to_save():
+            self.save_model()
+
+    def pre_step(self):
+        pass
+
+    def post_step(self):
+        pass
+
+    def begin_epoch(self):
+        self.reset_data_iterator()
+        self.pre_epoch()
+        self.epoch_start_time = time.time()
+
+    def end_epoch(self):
+        elapsed = time.time() - (self.epoch_start_time or time.time())
+        self.epoch_start_time = time.time()
+        self.tracker.log_metric("time/elapsed_ms_per_epoch", elapsed * 1000, self.epoch)
+        self.post_epoch()
+        if self.cfg.valid_every > -1 and self.epoch % self.cfg.valid_every == 0 \
+                and self.epoch != 0:
+            self.validate()
+        if self.epoch < self.max_epochs:
+            self.iteration = 0
+            self.epoch += 1
+            self.scene_state.optimization.epoch = self.epoch
+        else:
+            self.is_optimization_running = False
+
+    def reset_data_iterator(self):
+        self._data_iter = iter(range(len(self.train_dataset)))
+
+    def next_batch(self):
+        idx = next(self._data_iter)
+        return self.train_dataset[idx]
+
+    def iterate(self):
+        """Single training step through all lifecycle hooks (reference base_trainer.py:316-342)."""
+        if not self.is_optimization_running:
+            return
+        if self.is_first_iteration():
+            self.pre_training()
+            self._pre_training_done = True
+        iter_start = time.time()
+        data = None
+        try:
+            if self._data_iter is None:
+                self.begin_epoch()
+            self.iteration += 1
+            data = self.next_batch()
+        except StopIteration:
+            self.end_epoch()
+            if self.is_any_iterations_remaining():
+                self.begin_epoch()
+                self.iteration += 1
+                data = self.next_batch()
+            else:
+                self.post_training()
+        if self.is_any_iterations_remaining() and data is not None:
+            self.pre_step()
+            self.step(data)
+            self.post_step()
+        self.scene_state.optimization.elapsed_time += time.time() - iter_start
+        self.scene_state.optimization.iteration = self.iteration
+
+    def train(self) -> Dict[str, Any]:
+        """Full training loop (reference base_trainer.py:361-374)."""
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        self.is_optimization_running = True
+        # pre_training fires on first iterate()
+        while self.is_optimization_running:
+            self.iterate()
+        return self.return_dict
+
+    # ---------------------------------------------------------------------------------------
+    # Step
+    # ---------------------------------------------------------------------------------------
+    @abstractmethod
+    def step(self, data):
+        """Advance training by one batch."""
+
+    @abstractmethod
+    def validate(self):
+        pass
+
+    def run_step(self, batch) -> Tuple[float, Dict[str, Any]]:
+        """Drive the jitted step and update device-side state."""
+        self._diff, self.opt_state, loss, aux = self._step_fn(
+            self._diff, self.opt_state, self._nondiff, batch, self.next_key())
+        return loss, aux
+
+    def sync_pipeline(self):
+        """Re-assemble self.pipeline from the device-side diff partition (between epochs /
+        before validation; the hot loop never touches self.pipeline)."""
+        self.pipeline = self._spec.unflatten(self._diff, self._nondiff)
+        self.scene_state.graph.neural_pipelines[self.cfg.exp_name] = self.pipeline
+        return self.pipeline
+
+    # ---------------------------------------------------------------------------------------
+    # Logging / saving (reference base_trainer.py:420-530)
+    # ---------------------------------------------------------------------------------------
+    def is_time_to_render(self) -> bool:
+        return self.cfg.render_every > -1 and self.epoch % self.cfg.render_every == 0
+
+    def is_time_to_save(self) -> bool:
+        return self.cfg.save_every > -1 and self.epoch % self.cfg.save_every == 0 \
+            and self.epoch != 0
+
+    def log_model_details(self):
+        log.info("-- Model Details --")
+        if getattr(self.pipeline, "nef", None) is not None:
+            for key, value in self.pipeline.nef.public_properties().items():
+                log.info(f"{key}: {value}")
+
+    def log_console(self):
+        total_loss = self.tracker.metrics.average_metric("total_loss")
+        log_text = "EPOCH {}/{}".format(self.epoch, self.max_epochs)
+        log_text += " | total loss: {:>.3E}".format(total_loss)
+        log.info(log_text)
+
+    def log_tracker(self):
+        for key in self.tracker.metrics.active_metrics:
+            if "loss" in key:
+                self.tracker.log_metric(f"loss/{key}",
+                                        self.tracker.metrics.average_metric(key), self.epoch)
+
+    def render_snapshot(self):
+        """Render + log a snapshot via the offline visualizer, if attached
+        (reference base_trainer.py:495-519)."""
+        if self.tracker.visualizer is None:
+            return
+        pipeline = self.sync_pipeline()
+        out = self.tracker.visualizer.render_snapshot(
+            pipeline,
+            f=self.tracker.cfg.vis_camera.camera_origin,
+            t=self.tracker.cfg.vis_camera.camera_lookat,
+            fov=self.tracker.cfg.vis_camera.camera_fov)
+        img = out.image().numpy_dict()
+        for key in ("depth", "hit", "normal", "rgb", "alpha"):
+            if img.get(key) is not None:
+                self.tracker.log_image(f"{key}", img[key], self.epoch)
+
+    def save_model(self):
+        """Checkpoint the pipeline (reference base_trainer.py:344-359). 'full' pickles the
+        entire pipeline pytree (structure + weights); 'state_dict' saves only array leaves."""
+        pipeline = self.sync_pipeline()
+        suffix = f"-ep{self.epoch}-it{self.iteration}" if self.cfg.save_as_new else ""
+        model_fname = os.path.join(self.tracker.log_dir, f"model{suffix}.ckpt")
+        log.info(f"Saving model checkpoint to: {model_fname}")
+        if self.cfg.model_format == "full":
+            with open(model_fname, "wb") as fh:
+                pickle.dump(jax.device_get(pipeline), fh)
+        else:
+            leaves = jtu.tree_leaves(pipeline)
+            np.savez(model_fname + ".npz",
+                     **{str(i): np.asarray(l) for i, l in enumerate(leaves)
+                        if isinstance(l, (jax.Array, np.ndarray))})
+        self.tracker.log_artifact(model_fname=model_fname,
+                                  names=["latest", f"ep{self.epoch}_it{self.iteration}"])
+
+
+def load_pipeline(path: str):
+    """Load a 'full'-format checkpoint saved by BaseTrainer.save_model
+    (reference apps' --pretrained flow, main_nerf.py:86-103)."""
+    with open(path, "rb") as fh:
+        return pickle.load(fh)

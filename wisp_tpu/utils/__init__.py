@@ -1,0 +1,2 @@
+from wisp_tpu.utils.filter import (TreeSpec, partition, filter_grad,
+                                   filter_value_and_grad, is_inexact_array)
