@@ -1,0 +1,182 @@
+"""Unit tests for the octree/SPC layer: morton codes, construction, query, raytrace,
+raymarch (counterpart of the reference's reliance on kaolin's tested SPC ops — here we own
+them, so they get direct coverage)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wisp_tpu.accelstructs import OctreeAS, AxisAlignedBBoxAS
+from wisp_tpu.core import Rays
+from wisp_tpu.ops.spc import (build_level_table, morton3d, morton_to_points,
+                              points_to_morton, quantize_points, make_dual,
+                              create_dense_octree, total_variation)
+
+
+class TestMorton:
+    def test_roundtrip(self, rng):
+        pts = rng.integers(0, 1024, (1000, 3)).astype(np.int32)
+        codes = points_to_morton(pts)
+        back = morton_to_points(codes)
+        np.testing.assert_array_equal(back, pts)
+
+    def test_device_matches_host(self, rng):
+        pts = rng.integers(0, 1024, (256, 3)).astype(np.int32)
+        host = points_to_morton(pts).astype(np.uint32)
+        dev = np.asarray(morton3d(jnp.asarray(pts)))
+        np.testing.assert_array_equal(dev, host)
+
+    def test_parent_property(self):
+        # morton(parent) == morton(child) >> 3
+        child = np.array([[5, 3, 7]], dtype=np.int32)
+        parent = child // 2
+        assert points_to_morton(child)[0] >> np.uint64(3) == points_to_morton(parent)[0]
+
+
+class TestOctreeConstruction:
+    def test_level_table(self):
+        pts = np.array([[0, 0, 0], [1, 1, 1], [7, 7, 7]], dtype=np.int32)
+        codes, points = build_level_table(pts, 3)
+        assert len(codes) == 4
+        assert len(codes[3]) == 3       # three distinct leaves
+        assert len(codes[0]) == 1       # one root
+        # level 2 parents: [0,0,0] and [3,3,3]
+        assert len(codes[2]) == 2
+
+    def test_dense(self):
+        codes = create_dense_octree(2)
+        assert [len(c) for c in codes] == [1, 8, 64]
+
+    def test_dual_and_trinkets(self):
+        pts = np.array([[0, 0, 0]], dtype=np.int32)
+        codes, points = build_level_table(pts, 1)
+        dual, trinkets = make_dual(points)
+        assert dual[1].shape == (8, 3)      # single cell → 8 corners
+        assert trinkets[1].shape == (1, 8)
+        # two adjacent cells share 4 corners
+        pts2 = np.array([[0, 0, 0], [1, 0, 0]], dtype=np.int32)
+        _, points2 = build_level_table(pts2, 1)
+        dual2, trinkets2 = make_dual(points2)
+        assert dual2[1].shape == (12, 3)
+        assert trinkets2[1].shape == (2, 8)
+
+
+class TestOctreeQuery:
+    def test_query_hit_miss(self):
+        # occupy a single leaf cell at level 3: cell (0,0,0) covers [-1,-0.75)^3
+        blas = OctreeAS.from_quantized_points(np.array([[0, 0, 0]], dtype=np.int32), 3)
+        coords = jnp.asarray([[-0.9, -0.9, -0.9], [0.5, 0.5, 0.5], [2.0, 0.0, 0.0]])
+        res = blas.query(coords)
+        assert int(res.pidx[0]) == 0
+        assert int(res.pidx[1]) == -1
+        assert int(res.pidx[2]) == -1  # outside aabb
+
+    def test_query_with_parents(self):
+        blas = OctreeAS.from_quantized_points(np.array([[0, 0, 0]], dtype=np.int32), 3)
+        res = blas.query(jnp.asarray([[-0.9, -0.9, -0.9]]), with_parents=True)
+        assert res.pidx.shape == (1, 4)
+        assert np.all(np.asarray(res.pidx) == 0)
+
+    def test_dense_query(self):
+        blas = OctreeAS.make_dense(2)
+        coords = jnp.asarray([[-0.9, -0.9, -0.9], [0.9, 0.9, 0.9]])
+        res = blas.query(coords)
+        assert int(res.pidx[0]) == 0
+        assert int(res.pidx[1]) == 63  # last morton cell
+
+    def test_occupancy_at(self):
+        blas = OctreeAS.from_quantized_points(np.array([[0, 0, 0]], dtype=np.int32), 2)
+        occ = blas.occupancy_at(jnp.asarray([[-0.9, -0.9, -0.9], [0.9, 0.9, 0.9]]))
+        assert bool(occ[0]) and not bool(occ[1])
+
+    def test_query_under_jit(self):
+        blas = OctreeAS.from_quantized_points(
+            np.array([[0, 0, 0], [3, 3, 3]], dtype=np.int32), 2)
+
+        @jax.jit
+        def f(b, c):
+            return b.query(c).pidx
+
+        pidx = f(blas, jnp.asarray([[-0.9, -0.9, -0.9], [0.8, 0.8, 0.8]]))
+        assert int(pidx[0]) == 0 and int(pidx[1]) == 1
+
+
+class TestRaytrace:
+    def test_single_voxel_intersection(self):
+        # Cell (0,0,0) at level 1 covers [-1,0)^3; ray along +x at y=z=-0.5 hits it
+        blas = OctreeAS.from_quantized_points(np.array([[0, 0, 0]], dtype=np.int32), 1)
+        rays = Rays(origins=jnp.asarray([[-2.0, -0.5, -0.5]]),
+                    dirs=jnp.asarray([[1.0, 0.0, 0.0]]), dist_min=0.0, dist_max=10.0)
+        out = blas.raytrace(rays, capacity=8)
+        valid = np.asarray(out.mask[0])
+        assert valid.sum() == 1
+        t_in = float(out.t_entry[0][valid][0])
+        t_out = float(out.t_exit[0][valid][0])
+        assert t_in == pytest.approx(1.0, abs=1e-4)   # enters box at x=-1 → t=1
+        assert t_out == pytest.approx(2.0, abs=1e-4)  # exits cell at x=0 → t=2
+
+    def test_miss(self):
+        blas = OctreeAS.from_quantized_points(np.array([[0, 0, 0]], dtype=np.int32), 1)
+        rays = Rays(origins=jnp.asarray([[-2.0, 0.5, 0.5]]),  # passes through empty octant
+                    dirs=jnp.asarray([[1.0, 0.0, 0.0]]), dist_min=0.0, dist_max=10.0)
+        out = blas.raytrace(rays, capacity=8)
+        assert np.asarray(out.mask).sum() == 0
+
+    def test_multi_voxel_ordering(self):
+        # Two cells along x: (0,0,0) and (1,0,0) at level 1 → intervals must be sorted
+        blas = OctreeAS.from_quantized_points(
+            np.array([[0, 0, 0], [1, 0, 0]], dtype=np.int32), 1)
+        rays = Rays(origins=jnp.asarray([[-2.0, -0.5, -0.5]]),
+                    dirs=jnp.asarray([[1.0, 0.0, 0.0]]), dist_min=0.0, dist_max=10.0)
+        out = blas.raytrace(rays, capacity=8)
+        valid = np.asarray(out.mask[0])
+        assert valid.sum() == 2
+        entries = np.asarray(out.t_entry[0])[valid]
+        assert entries[0] < entries[1]
+        np.testing.assert_allclose(entries, [1.0, 2.0], atol=1e-4)
+
+
+class TestRaymarch:
+    def _blas(self):
+        # occupy half the space: all cells with x < 0 at level 2
+        cells = [(x, y, z) for x in range(2) for y in range(4) for z in range(4)]
+        return OctreeAS.from_quantized_points(np.asarray(cells, dtype=np.int32), 2)
+
+    def test_ray_march_masks_empty_space(self):
+        blas = self._blas()
+        rays = Rays(origins=jnp.asarray([[-3.0, 0.1, 0.1]]),
+                    dirs=jnp.asarray([[1.0, 0.0, 0.0]]), dist_min=0.0, dist_max=10.0)
+        out = blas.raymarch(rays, raymarch_type="ray", num_samples=64)
+        m = np.asarray(out.mask[0])
+        xs = np.asarray(out.samples[0, :, 0])
+        assert m.sum() > 0
+        assert np.all(xs[m] < 0.0)   # only occupied (x<0) samples valid
+        assert out.samples.shape == (1, 64, 3)
+
+    def test_march_types(self):
+        blas = self._blas()
+        rays = Rays(origins=jnp.asarray([[-3.0, 0.1, 0.1], [3.0, 0.1, 0.1]]),
+                    dirs=jnp.asarray([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]]),
+                    dist_min=0.0, dist_max=10.0)
+        for t in ("ray", "voxel", "uniform"):
+            out = blas.raymarch(rays, raymarch_type=t, num_samples=16)
+            assert np.asarray(out.mask).sum() > 0, t
+
+    def test_aabb_blas(self):
+        blas = AxisAlignedBBoxAS()
+        rays = Rays(origins=jnp.asarray([[0.0, 0.0, -3.0]]),
+                    dirs=jnp.asarray([[0.0, 0.0, 1.0]]), dist_min=0.0, dist_max=10.0)
+        out = blas.raymarch(rays, raymarch_type="ray", num_samples=32)
+        m = np.asarray(out.mask[0])
+        assert m.sum() == 32  # everything inside the box is occupied
+
+
+class TestTotalVariation:
+    def test_uniform_field_zero_tv(self):
+        pts = np.array([[0, 0, 0], [1, 0, 0]], dtype=np.int32)
+        codes, points = build_level_table(pts, 1)
+        dual, trinkets = make_dual(points)
+        feats = jnp.ones((dual[1].shape[0], 4))
+        tv = total_variation(feats, jnp.asarray(trinkets[1]), 1)
+        assert float(tv) == 0.0
