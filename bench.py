@@ -1,0 +1,114 @@
+"""Benchmark: hash-NeRF training throughput (rays/sec/chip) on the flagship pipeline.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. Baseline: the project target
+of 2M rays/sec/chip derived from the reference's A6000 train times (BASELINE.md — the
+reference publishes no direct rays/sec; hash-lego-best trains 100 epochs in 98s at
+target_sample_size 2^18 with 512-2048 steps/ray).
+
+Workload mirrors the reference hash-lego 'quick' config scale: 16-LOD hash grid (bw 19,
+max res 512), hidden 64 decoders, 'ray' marching at 512 steps, 4096 rays/step, huber loss,
+AdamW — full training step (fwd + bwd + optimizer) measured after warmup.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET_RAYS_PER_SEC = 2.0e6  # BASELINE.json north-star target per chip
+
+
+def main():
+    from wisp_tpu.accelstructs import OctreeAS
+    from wisp_tpu.core import Rays
+    from wisp_tpu.models.grids import HashGrid
+    from wisp_tpu.models.nefs.nerf import NeuralRadianceField
+    from wisp_tpu.models.pipeline import Pipeline
+    from wisp_tpu.tracers import PackedRFTracer
+    from wisp_tpu.config.presets import ConfigAdamW
+    from wisp_tpu.trainers.multiview_trainer import (ConfigMultiviewTrainer,
+                                                     MultiviewTrainer)
+    from wisp_tpu.trainers.tracker import ConfigTracker, Tracker
+
+    num_rays = int(os.environ.get("BENCH_RAYS", 4096))
+    num_steps = int(os.environ.get("BENCH_STEPS", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 50))
+
+    blas = OctreeAS.make_dense(7)
+    grid = HashGrid.from_geometric(blas=blas, feature_dim=2, num_lods=16,
+                                   multiscale_type="cat", feature_std=1e-9,
+                                   codebook_bitwidth=19, min_grid_res=16, max_grid_res=512,
+                                   key=jax.random.PRNGKey(1))
+    nef = NeuralRadianceField(grid=grid, view_embedder="positional", view_multires=4,
+                              hidden_dim=64, num_layers=1, bias=True,
+                              key=jax.random.PRNGKey(2))
+    tracer = PackedRFTracer(raymarch_type="ray", num_steps=num_steps,
+                            bg_color=(0.0, 0.0, 0.0))
+    pipeline = Pipeline(nef=nef, tracer=tracer)
+
+    cfg = ConfigMultiviewTrainer(
+        optimizer=ConfigAdamW(lr=1e-3, eps=1e-15, weight_decay=1e-6),
+        grid_lr_weight=500.0, rgb_loss_type="huber", max_epochs=1,
+        prune_every=-1, render_every=-1, valid_every=-1, save_every=-1,
+        exp_name="bench")
+
+    class _BenchDataset:
+        cameras = {}
+
+        def __len__(self):
+            return iters
+
+        transform = None
+
+    tracker = Tracker(ConfigTracker(tensorboard=False, log_dir="/tmp/wisp_bench"), "bench")
+    trainer = MultiviewTrainer(cfg=cfg, pipeline=pipeline, train_dataset=_BenchDataset(),
+                               tracker=tracker)
+
+    rng = np.random.default_rng(0)
+    eye = np.asarray([0.0, 0.0, -3.0], np.float32)
+    dirs = rng.normal(size=(num_rays, 3)).astype(np.float32)
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 2.0
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.broadcast_to(eye, (num_rays, 3)).copy()
+    gts = rng.random((num_rays, 3)).astype(np.float32)
+
+    rays = Rays(jnp.asarray(origins), jnp.asarray(dirs), 0.0, 6.0)
+    batch = (rays, jnp.asarray(gts), jnp.asarray(0, jnp.int32))
+
+    # warmup (compile)
+    trainer._step_fn = trainer._build_step()
+    for _ in range(3):
+        loss, aux = trainer.run_step(batch)
+    jax.block_until_ready(trainer._diff)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, aux = trainer.run_step(batch)
+    jax.block_until_ready(trainer._diff)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = num_rays * iters / dt
+    result = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),
+        "detail": {
+            "num_rays": num_rays, "num_steps": num_steps, "iters": iters,
+            "wall_s": round(dt, 3),
+            "samples_per_sec": round(num_rays * num_steps * iters / dt, 1),
+            "device": str(jax.devices()[0]),
+            "final_loss": float(loss),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,3 +140,34 @@ class TestHashgrid:
         coords = jnp.asarray(rng.random((5, 3)) * 2 - 1, jnp.float32)
         out = grid_ops.hashgrid_query(coords, (4,), 8, 0, codebook, first, sizes)
         assert out.shape == (5, 1, 8, 2)
+
+
+class TestLayoutOptimizedVsNaive:
+    """The corner-major TPU-layout hashgrid must match the naive [N,8,F] oracle exactly."""
+
+    def test_forward_equivalence(self, rng):
+        resolutions = (4, 16, 37, 128)
+        bw = 10
+        cs = 2 ** bw
+        sizes = tuple(min(r ** 3, cs) for r in resolutions)
+        first = tuple(np.concatenate([[0], np.cumsum(sizes)])[:-1].tolist())
+        codebook = jnp.asarray(rng.standard_normal((sum(sizes), 2)), jnp.float32)
+        coords = jnp.asarray(rng.random((500, 3)) * 2 - 1, jnp.float32)
+        fast = grid_ops.hashgrid(coords, resolutions, bw, 3, codebook, first, sizes)
+        naive = grid_ops.hashgrid_naive(coords, resolutions, bw, 3, codebook, sizes, first)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-5)
+
+    def test_gradient_equivalence(self, rng):
+        resolutions = (4, 16)
+        bw = 8
+        cs = 2 ** bw
+        sizes = tuple(min(r ** 3, cs) for r in resolutions)
+        first = (0, sizes[0])
+        codebook = jnp.asarray(rng.standard_normal((sum(sizes), 2)), jnp.float32)
+        coords = jnp.asarray(rng.random((100, 3)) * 2 - 1, jnp.float32)
+
+        g_fast = jax.grad(lambda cb: jnp.sum(
+            grid_ops.hashgrid(coords, resolutions, bw, 1, cb, first, sizes) ** 2))(codebook)
+        g_naive = jax.grad(lambda cb: jnp.sum(
+            grid_ops.hashgrid_naive(coords, resolutions, bw, 1, cb, sizes, first) ** 2))(codebook)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_naive), atol=1e-4)

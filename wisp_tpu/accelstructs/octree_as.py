@@ -108,16 +108,25 @@ class OctreeAS(Module, BaseAS):
 
     @classmethod
     def make_dense(cls, level: int) -> "OctreeAS":
-        """Fully-occupied octree (reference octree_as.py:136-144). Implicit topology: every
-        query hits, pidx == morton code."""
+        """Fully-occupied octree (reference octree_as.py:136-144). Topology is implicit
+        (every query hits, pidx == morton code) but a bitfield is still allocated so pruning
+        can carve it in place with a fixed shape — no per-prune recompilation
+        (unlike the reference which rebuilds the blas from_quantized_points each prune)."""
         obj = cls.__new__(cls)
         obj.max_level = level
         obj.dense = True
         obj.level_counts = tuple(8 ** l for l in range(level + 1))
         obj.codes = None
         obj.points = None
-        obj.occ_grid = None
+        obj.occ_grid = jnp.ones((8 ** level,), bool)
         return obj
+
+    def update_occupancy(self, occ_grid) -> "OctreeAS":
+        """Functionally replace the max_level occupancy bitfield (the pruning fast path:
+        topology tables are untouched; the marchers only consult the bitfield)."""
+        new = self.replace(occ_grid=occ_grid.reshape(self.occ_grid.shape))
+        new.__dict__["dense"] = False
+        return new
 
     # -- query (reference octree_as.py:146-163) -----------------------------------------------
     def query(self, coords, level: Optional[int] = None,
@@ -153,12 +162,12 @@ class OctreeAS(Module, BaseAS):
 
     def occupancy_at(self, coords) -> jax.Array:
         """Fast boolean occupancy test at max_level (one gather) — the RF hot path."""
-        if self.dense:
-            return jnp.all((coords >= -1.0) & (coords < 1.0), axis=-1)
+        inside = jnp.all((coords >= -1.0) & (coords < 1.0), axis=-1)
+        if self.dense or self.occ_grid is None:
+            return inside
         res = 2 ** self.max_level
         q = quantize_points_jnp(coords, self.max_level)
         flat = (q[..., 0] * res + q[..., 1]) * res + q[..., 2]
-        inside = jnp.all((coords >= -1.0) & (coords < 1.0), axis=-1)
         return jnp.where(inside, self.occ_grid[flat], False)
 
     # -- AABB intersection helper -------------------------------------------------------------

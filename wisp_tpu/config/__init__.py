@@ -3,5 +3,5 @@ from wisp_tpu.config.utils import (
     write_config_to_yaml, get_config_target, config_to_dict,
 )
 from wisp_tpu.config.presets import (
-    ConfigAdam, ConfigRMSprop, ConfigSGD, ConfigDataloader,
+    ConfigAdam, ConfigAdamW, ConfigRMSprop, ConfigSGD, ConfigDataloader,
 )

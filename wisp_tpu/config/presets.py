@@ -38,17 +38,32 @@ def _sgd(lr: float = 1e-3, momentum: float = 0.0, weight_decay: float = 0.0):
     return opt
 
 
-@configure(target=_adam)
+@configure(target=_adam, name="Adam")
 class ConfigAdam:
-    """Adam/AdamW (reference ConfigAdam, config/presets/torch.py:21-41; eps=1e-15 is the
-    instant-ngp convention set per-app)."""
+    """Adam (reference ConfigAdam, config/presets/torch.py:21-41; eps=1e-15 is the
+    instant-ngp convention set per-app). On TPU every optimizer is fused by XLA, so the
+    reference's apex FusedAdam preset folds into this one."""
     lr: float = 1e-3
     betas: Tuple[float, float] = (0.9, 0.999)
     eps: float = 1e-8
     weight_decay: float = 0.0
 
 
-@configure(target=_rmsprop)
+def _adamw(lr: float = 1e-3, betas: Tuple[float, float] = (0.9, 0.999),
+           eps: float = 1e-8, weight_decay: float = 1e-2):
+    return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+
+
+@configure(target=_adamw, name="AdamW")
+class ConfigAdamW:
+    """AdamW (reference ConfigAdamW)."""
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 1e-2
+
+
+@configure(target=_rmsprop, name="RMSprop")
 class ConfigRMSprop:
     """RMSprop (reference ConfigRMSprop, config/presets/torch.py:44-58)."""
     lr: float = 1e-3
@@ -58,7 +73,7 @@ class ConfigRMSprop:
     weight_decay: float = 0.0
 
 
-@configure(target=_sgd)
+@configure(target=_sgd, name="SGD")
 class ConfigSGD:
     lr: float = 1e-3
     momentum: float = 0.0

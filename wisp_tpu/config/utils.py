@@ -132,14 +132,15 @@ def _is_cli_type(ann) -> bool:
     return False
 
 
-def configure(target: Optional[Callable] = None):
+def configure(target: Optional[Callable] = None, name: Optional[str] = None):
     """Decorator marking a hand-written dataclass as a config for ``target``
-    (reference utils.py:200-318)."""
+    (reference utils.py:200-318). ``name`` overrides the constructor display/selection name
+    (e.g. 'AdamW' for an optax factory fn)."""
     def wrap(cls):
         cls = dataclasses.dataclass(cls)
         if target is not None:
             setattr(cls, _TARGET_ATTR, target)
-            setattr(cls, _CTOR_ATTR, getattr(target, "__name__", str(target)))
+            setattr(cls, _CTOR_ATTR, name or getattr(target, "__name__", str(target)))
         return cls
     return wrap
 

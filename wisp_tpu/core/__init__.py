@@ -5,3 +5,4 @@ from wisp_tpu.core.channels import Channel, channels_starter_kit, create_default
 from wisp_tpu.core.primitives import PrimitivesPack
 from wisp_tpu.core.transforms import ObjectTransform
 from wisp_tpu.core import channel_fn, colors
+from wisp_tpu.core.camera import Camera

@@ -1,0 +1,1 @@
+from wisp_tpu.datasets.transforms.ray_sampler import SampleRays

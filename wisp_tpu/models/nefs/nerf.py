@@ -1,0 +1,204 @@
+"""NeuralRadianceField — density + view-dependent color field.
+
+Counterpart of reference wisp/models/nefs/nerf.py:22-295. Architecture replicated exactly for
+PSNR parity (SURVEY.md §7 'hard parts' #6):
+
+* grid features (+ optional positional embedding) → density decoder (out 16, lout bias[0]
+  init 1.0 when bias enabled — reference nerf.py:162-163)
+* density = relu(channel 0); color = sigmoid(color_decoder(channels 1:16 ⊕ view embedding))
+  (reference nerf.py:219-264)
+* instant-ngp pruning scheme (reference nerf.py:175-212): decay per-cell occupancy, re-query
+  density at one jittered sample per cell, keep max, threshold. TPU twist: instead of
+  rebuilding the octree from surviving points (shape change → recompile), the max_level
+  occupancy *bitfield* is rewritten in place — same marching behavior, fixed shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wisp_tpu.models.activations import get_activation_class
+from wisp_tpu.models.decoders.basic_decoders import BasicDecoder
+from wisp_tpu.models.embedders.positional_embedder import get_positional_embedder
+from wisp_tpu.models.layers import get_layer_class
+from wisp_tpu.models.nefs.base_nef import BaseNeuralField
+
+PRUNE_DENSITY_DECAY_DEFAULT = (0.01 * 512) / float(np.sqrt(3))
+
+
+class _Identity:
+    out_dim = 3
+
+    def __call__(self, x):
+        return x
+
+
+class NeuralRadianceField(BaseNeuralField):
+    def __init__(self,
+                 grid=None,
+                 pos_embedder: str = "none",     # 'none' | 'identity' | 'positional'
+                 view_embedder: str = "none",    # 'none' | 'identity' | 'positional'
+                 pos_multires: int = 10,
+                 view_multires: int = 4,
+                 position_input: bool = False,
+                 activation_type: str = "relu",
+                 layer_type: str = "linear",
+                 hidden_dim: int = 128,
+                 num_layers: int = 1,
+                 bias: bool = False,
+                 prune_density_decay: Optional[float] = PRUNE_DENSITY_DECAY_DEFAULT,
+                 prune_min_density: Optional[float] = 0.6,
+                 *,
+                 key=None):
+        self.grid = grid
+        self.pos_embedder_type = pos_embedder
+        self.view_embedder_type = view_embedder
+        self.pos_embedder, self.pos_embed_dim = self.init_embedder(
+            pos_embedder, pos_multires, include_input=position_input)
+        self.view_embedder, self.view_embed_dim = self.init_embedder(
+            view_embedder, view_multires, include_input=True)
+
+        self.activation_type = activation_type
+        self.layer_type = layer_type
+        self.hidden_dim = hidden_dim
+        self.num_layers = num_layers
+        self.bias = bias
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        kd, kc = jax.random.split(key)
+        self.decoder_density = BasicDecoder(
+            input_dim=self.density_net_input_dim(), output_dim=16,
+            activation=get_activation_class(activation_type), bias=bias,
+            layer=get_layer_class(self._layer_name(layer_type)),
+            num_layers=num_layers, hidden_dim=hidden_dim, skip=[], key=kd)
+        if self.decoder_density.lout.bias is not None:
+            # Density head bias init: channel 0 starts at 1.0 (reference nerf.py:162-163).
+            lout = self.decoder_density.lout
+            self.decoder_density = self.decoder_density.replace(
+                lout=lout.replace(bias=lout.bias.at[0].set(1.0)))
+        self.decoder_color = BasicDecoder(
+            input_dim=self.color_net_input_dim(), output_dim=3,
+            activation=get_activation_class(activation_type), bias=bias,
+            layer=get_layer_class(self._layer_name(layer_type)),
+            num_layers=num_layers + 1, hidden_dim=hidden_dim, skip=[], key=kc)
+
+        self.prune_density_decay = prune_density_decay
+        self.prune_min_density = prune_min_density
+        super().__init__()
+
+    @staticmethod
+    def _layer_name(layer_type: str) -> str:
+        """Accept both reference spellings ('spectral_norm' etc.) and short names."""
+        return layer_type.replace("_norm", "")
+
+    def init_embedder(self, embedder_type: str, frequencies: int, include_input: bool):
+        if embedder_type == "none" and not include_input:
+            return None, 0
+        if embedder_type == "identity" or (embedder_type == "none" and include_input):
+            return _Identity(), 3
+        if embedder_type == "positional":
+            return get_positional_embedder(frequencies=frequencies,
+                                           include_input=include_input)
+        raise NotImplementedError(
+            f"Unsupported embedder type for NeuralRadianceField: {embedder_type}")
+
+    def register_forward_functions(self):
+        self._register_forward_function(self.rgba, ["density", "rgb"])
+
+    def rgba(self, coords, ray_d, lod_idx=None):
+        """[N,3] coords + [N,3] view dirs -> {'rgb': [N,3], 'density': [N,1]}
+        (reference nerf.py:219-264)."""
+        if lod_idx is None:
+            lod_idx = len(self.grid.active_lods) - 1
+        batch = coords.shape[0]
+
+        feats = self.grid.interpolate(coords, lod_idx).reshape(
+            batch, self.effective_feature_dim())
+        if self.pos_embedder is not None:
+            embedded_pos = self.pos_embedder(coords).reshape(batch, self.pos_embed_dim)
+            feats = jnp.concatenate([feats, embedded_pos], axis=-1)
+
+        density_feats = self.decoder_density(feats)
+
+        if self.view_embedder is not None:
+            embedded_dir = self.view_embedder(ray_d).reshape(batch, self.view_embed_dim)
+            fdir = jnp.concatenate([density_feats, embedded_dir], axis=-1)
+        else:
+            fdir = density_feats
+
+        colors = jax.nn.sigmoid(self.decoder_color(fdir[..., 1:]))
+        density = jax.nn.relu(density_feats[..., 0:1])
+        return {"rgb": colors, "density": density}
+
+    def effective_feature_dim(self) -> int:
+        if self.grid.multiscale_type == "cat":
+            return self.grid.feature_dim * self.grid.num_lods
+        return self.grid.feature_dim
+
+    def density_net_input_dim(self) -> int:
+        return self.effective_feature_dim() + self.pos_embed_dim
+
+    def color_net_input_dim(self) -> int:
+        return 15 + self.view_embed_dim
+
+    # -- pruning (reference nerf.py:175-212) ---------------------------------------------------
+    def prune(self, key=None):
+        """One pruning step; returns an updated nef (functional). Designed to be jittable:
+        occupancy decays, densities are re-queried at one jittered point per dense cell, the
+        max is thresholded, and the blas occupancy bitfield is rewritten (fixed shapes —
+        no topology rebuild, see module docstring)."""
+        if self.prune_density_decay is None or self.prune_min_density is None:
+            return self
+        grid = self.grid
+        if grid is None or grid.occupancy is None:
+            return self
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        level = grid.blas.max_level
+        res = 2 ** level
+        num_cells = grid.occupancy.shape[0]
+
+        occupancy = grid.occupancy * self.prune_density_decay
+
+        # Dense cell corners in row-major order (must match OctreeAS bitfield layout).
+        cell_ids = jnp.arange(num_cells)
+        cx = cell_ids // (res * res)
+        cy = (cell_ids // res) % res
+        cz = cell_ids % res
+        points = jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
+
+        k1, k2 = jax.random.split(key)
+        samples = points + jax.random.uniform(k1, (num_cells, 3))
+        samples = samples / res * 2.0 - 1.0
+        # random view dirs (density is view-independent; arg needed by rgba's signature)
+        views = jax.random.normal(k2, (num_cells, 3))
+        views = views / jnp.linalg.norm(views, axis=-1, keepdims=True)
+
+        density = jax.lax.stop_gradient(
+            self.forward(channels="density", coords=samples, ray_d=views))
+        occupancy = jnp.maximum(density[:, 0], occupancy)
+        mask = occupancy > self.prune_min_density
+
+        new_blas = grid.blas.update_occupancy(mask)
+        new_grid = grid.replace(occupancy=occupancy, blas=new_blas)
+        return self.replace(grid=new_grid)
+
+    def public_properties(self) -> Dict[str, Any]:
+        props = {
+            "Grid": self.grid.name() if self.grid is not None else None,
+            "Pos. Embedding": self.pos_embedder_type,
+            "View Embedding": self.view_embedder_type,
+            "Decoder (density)": self.decoder_density.public_properties(),
+            "Decoder (color)": self.decoder_color.public_properties(),
+        }
+        if self.prune_density_decay is not None:
+            props["Pruning Density Decay"] = self.prune_density_decay
+        if self.prune_min_density is not None:
+            props["Pruning Min Density"] = self.prune_min_density
+        return props

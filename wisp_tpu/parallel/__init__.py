@@ -1,0 +1,3 @@
+from wisp_tpu.parallel.data_parallel import (make_mesh, shard_batch, replicate_tree,
+                                             batch_sharding, replicated, DATA_AXIS,
+                                             num_devices)

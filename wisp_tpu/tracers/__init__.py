@@ -1,0 +1,2 @@
+from wisp_tpu.tracers.base_tracer import BaseTracer
+from wisp_tpu.tracers.packed_rf_tracer import PackedRFTracer

@@ -1,0 +1,104 @@
+"""PackedRFTracer — differentiable volumetric radiance-field renderer.
+
+Counterpart of reference wisp/tracers/packed_rf_tracer.py:17-183. The reference operates on
+packed variable-length sample streams with segmented CUDA scans (kaolin
+exponential_integration / sum_reduce); here samples live in a rectangular masked grid [R, S]
+so the whole march → interpolate → decode → integrate chain is dense tensor math that XLA
+fuses into one program (SURVEY.md §7):
+
+* transmittance: tau = sigma·delta·mask, T_i = exp(-cumsum_exclusive(tau)) (the packed
+  'exclusive' exponential integration), weight_i = T_i · (1 - exp(-tau_i)).
+* rgb = bg·(1-alpha) + sum_i w_i·c_i;  depth = sum_i w_i·t_i;  alpha = sum_i w_i;
+  hit = alpha > 0 — exactly the reference's outputs (packed_rf_tracer.py:137-165).
+* extra channels are volumetrically integrated then scaled by alpha
+  (packed_rf_tracer.py:167-179).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wisp_tpu.core.render_buffer import RenderBuffer
+from wisp_tpu.tracers.base_tracer import BaseTracer
+
+
+class PackedRFTracer(BaseTracer):
+    def __init__(self,
+                 raymarch_type: str = "ray",
+                 num_steps: int = 1024,
+                 step_size: float = 1.0,
+                 bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)):
+        super().__init__(bg_color=bg_color)
+        self.raymarch_type = raymarch_type
+        self.num_steps = num_steps
+        self.step_size = step_size
+        self.prev_num_samples = None  # host-side counter for adaptive ray batching
+
+    def get_prev_num_samples(self) -> Optional[int]:
+        """Valid-sample count of the last trace (reference packed_rf_tracer.py:56-66);
+        feeds MultiviewTrainer.calc_adaptive_rays."""
+        return self.prev_num_samples
+
+    def get_supported_channels(self) -> Set[str]:
+        return {"depth", "hit", "rgb", "alpha"}
+
+    def get_required_nef_channels(self) -> Set[str]:
+        return {"rgb", "density"}
+
+    def trace(self, nef, rays, channels, extra_channels,
+              lod_idx=None, raymarch_type="voxel", num_steps=64, step_size=1.0,
+              bg_color=(1.0, 1.0, 1.0), key=None):
+        assert nef.grid is not None, "this tracer requires a grid"
+        n = rays.origins.shape[0]
+        if lod_idx is None:
+            lod_idx = nef.grid.num_lods - 1
+
+        mr = nef.grid.raymarch(rays, raymarch_type=raymarch_type, num_samples=num_steps,
+                               level=None, key=key)
+        samples = mr.samples                       # [R, S, 3]
+        deltas = jnp.broadcast_to(mr.deltas, mr.depth_samples.shape)  # [R, S]
+        depths = mr.depth_samples                  # [R, S]
+        mask = mr.mask                             # [R, S]
+        s = samples.shape[1]
+
+        flat = samples.reshape(n * s, 3)
+        ray_d = jnp.broadcast_to(rays.dirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
+        out = nef(channels=["rgb", "density"], coords=flat, ray_d=ray_d, lod_idx=lod_idx)
+        color = out["rgb"].reshape(n, s, 3)
+        density = out["density"].reshape(n, s)
+
+        tau = density * deltas * mask.astype(density.dtype)            # optical thickness
+        sum_prev = jnp.cumsum(tau, axis=-1) - tau                      # exclusive prefix
+        transmittance = jnp.exp(-sum_prev) * (1.0 - jnp.exp(-tau))     # weights [R, S]
+
+        bg = jnp.asarray(bg_color, dtype=color.dtype)
+        ray_colors = jnp.sum(transmittance[..., None] * color, axis=1)  # [R, 3]
+        alpha = jnp.sum(transmittance, axis=-1, keepdims=True)          # [R, 1]
+        rgb = bg[None, :] * (1.0 - alpha) + ray_colors
+        hit = alpha[..., 0] > 0.0
+        depth = jnp.sum(transmittance * depths, axis=-1, keepdims=True) \
+            if "depth" in channels else None
+
+        extra_outputs = {}
+        for channel in extra_channels:
+            feats = nef(channels=channel, coords=flat, ray_d=ray_d, lod_idx=lod_idx)
+            num_channels = feats.shape[-1]
+            f = feats.reshape(n, s, num_channels)
+            ray_feats = jnp.sum(transmittance[..., None] * f, axis=1)
+            extra_outputs[channel] = alpha * ray_feats
+
+        # valid-sample count feeds the trainer's adaptive ray batching (the reference tracks
+        # prev_num_samples host-side, packed_rf_tracer.py:56-66)
+        num_valid = jnp.sum(mask.astype(jnp.float32))
+        return RenderBuffer(depth=depth, hit=hit[:, None], rgb=rgb, alpha=alpha,
+                            num_valid_samples=num_valid, **extra_outputs)
+
+    def public_properties(self) -> Dict[str, Any]:
+        return {
+            "Raymarch type": self.raymarch_type,
+            "Num steps": self.num_steps,
+            "Background color": self.bg_color,
+        }

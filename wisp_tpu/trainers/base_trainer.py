@@ -34,7 +34,8 @@ import jax.tree_util as jtu
 import numpy as np
 import optax
 
-from wisp_tpu.config.presets import ConfigAdam, ConfigRMSprop, ConfigSGD, ConfigDataloader
+from wisp_tpu.config.presets import (ConfigAdam, ConfigAdamW, ConfigRMSprop,
+                                     ConfigSGD, ConfigDataloader)
 from wisp_tpu.config.utils import configure, instantiate
 from wisp_tpu.framework.state import WispState
 from wisp_tpu.trainers.tracker.tracker import Tracker
@@ -46,7 +47,7 @@ log = logging.getLogger(__name__)
 @dataclasses.dataclass
 class ConfigBaseTrainer:
     """Trainer config (reference base_trainer.py:24-87)."""
-    optimizer: Union[ConfigAdam, ConfigRMSprop, ConfigSGD] = \
+    optimizer: Union[ConfigAdam, ConfigAdamW, ConfigRMSprop, ConfigSGD] = \
         dataclasses.field(default_factory=ConfigAdam)
     dataloader: ConfigDataloader = dataclasses.field(default_factory=ConfigDataloader)
     exp_name: str = "wisp_experiment"
@@ -75,8 +76,10 @@ class BaseTrainer(ABC):
                  train_dataset,
                  tracker: Optional[Tracker] = None,
                  scene_state: Optional[WispState] = None,
-                 device=None):
+                 device=None,
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh  # optional jax.sharding.Mesh: data-parallel scale-out (parallel/)
         self.pipeline = pipeline
         self.train_dataset = train_dataset
         if tracker is None:
@@ -103,6 +106,11 @@ class BaseTrainer(ABC):
         self.scene_state.graph.visible_objects[cfg.exp_name] = True
 
         self.init_optimizer()
+        if mesh is not None:
+            from wisp_tpu.parallel import replicate_tree
+            self._diff = replicate_tree(self._diff, mesh)
+            self._nondiff = replicate_tree(self._nondiff, mesh)
+            self.opt_state = replicate_tree(self.opt_state, mesh)
         self._step_fn = None  # built lazily after subclass init completes
         self._pre_training_done = False
 
@@ -320,10 +328,31 @@ class BaseTrainer(ABC):
         pass
 
     def run_step(self, batch) -> Tuple[float, Dict[str, Any]]:
-        """Drive the jitted step and update device-side state."""
+        """Drive the jitted step and update device-side state. With a mesh attached, the
+        batch is split over the ray axis and the grad all-reduce rides ICI (GSPMD)."""
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        if self.mesh is not None:
+            from wisp_tpu.parallel import shard_batch
+            batch = shard_batch(batch, self.mesh)
         self._diff, self.opt_state, loss, aux = self._step_fn(
             self._diff, self.opt_state, self._nondiff, batch, self.next_key())
         return loss, aux
+
+    def refresh_pipeline(self, pipeline):
+        """Swap in a structurally-updated pipeline (e.g. after pruning). Parameter arrays and
+        optimizer state survive by path identity; the step function is rebuilt (one
+        recompilation — pruning keeps array shapes fixed precisely so this almost never
+        changes the compiled program signature after the first prune)."""
+        self.pipeline = pipeline
+        old_diff = self._diff
+        self._spec = TreeSpec(pipeline)
+        self._diff = dict(self._spec.diff)
+        self._nondiff = dict(self._spec.nondiff)
+        # Preserve optimizer state for paths that survived; paths are stable across prunes.
+        if set(old_diff.keys()) != set(self._diff.keys()):
+            self.opt_state = self.optimizer.init(self._diff)
+        self._step_fn = None
 
     def sync_pipeline(self):
         """Re-assemble self.pipeline from the device-side diff partition (between epochs /

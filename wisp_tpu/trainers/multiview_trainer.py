@@ -1,0 +1,216 @@
+"""MultiviewTrainer — NeRF optimization from posed images.
+
+Counterpart of reference wisp/trainers/multiview_trainer.py:33-319. The step is the jitted
+forward-trace + loss + backward + update; pruning and adaptive ray batching run host-side at
+their cadences:
+
+* adaptive ray batching (reference :95-109): holds total *valid* samples ≈ target_sample_size
+  by retuning rays/batch from the previous step's valid-sample count, quantized to
+  power-of-two buckets so batch shapes don't thrash the jit cache.
+* pruning (reference :85-93): every prune_every iters, nef.prune() rewrites the occupancy
+  bitfield (fixed shapes — one-time recompile, see nerf.py docstring).
+* loss: l2/l1/huber over rays or samples + optional opacity loss for the first 1k iters
+  (reference :140-162).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wisp_tpu.core.rays import Rays
+from wisp_tpu.datasets.transforms.ray_sampler import SampleRays
+from wisp_tpu.ops.image.metrics import lpips as lpips_fn, psnr as psnr_fn, ssim as ssim_fn
+from wisp_tpu.trainers.base_trainer import BaseTrainer, ConfigBaseTrainer
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ConfigMultiviewTrainer(ConfigBaseTrainer):
+    """(reference multiview_trainer.py:33-63)"""
+    start_prune: int = 1000
+    prune_every: int = 100
+    random_lod: bool = False
+    rgb_lambda: float = 1.0
+    opacity_loss: float = 0.0
+    rgb_loss_type: str = "l2"      # 'l2' | 'l1' | 'huber'
+    rgb_loss_denom: str = "rays"   # 'rays' | 'samples'
+    target_sample_size: int = 2 ** 18
+    save_valid_imgs: bool = False
+
+
+class MultiviewTrainer(BaseTrainer):
+    def __init__(self, cfg: ConfigMultiviewTrainer, pipeline, train_dataset,
+                 validation_dataset=None, tracker=None, scene_state=None, device=None,
+                 mesh=None):
+        super().__init__(cfg=cfg, pipeline=pipeline, train_dataset=train_dataset,
+                         tracker=tracker, scene_state=scene_state, device=device, mesh=mesh)
+        self.validation_dataset = validation_dataset
+        self.scene_state.graph.cameras = dict(train_dataset.cameras)
+        self._prev_num_samples = None
+
+    def pre_training(self):
+        super().pre_training()
+        self.tracker.metrics.define_metric("rgb_loss", aggregation_type=float)
+
+    # -- pruning (reference :85-93) -----------------------------------------------------------
+    def pre_step(self):
+        super().pre_step()
+        if self.cfg.prune_every > -1 and self.total_iterations > 1 and \
+                self.total_iterations >= self.cfg.start_prune and \
+                self.total_iterations % self.cfg.prune_every == 0:
+            pipeline = self.sync_pipeline()
+            new_nef = pipeline.nef.prune(key=self.next_key())
+            if new_nef is not pipeline.nef:
+                self.refresh_pipeline(pipeline.replace(nef=new_nef))
+
+    # -- adaptive ray batching (reference :95-109) ---------------------------------------------
+    def calc_adaptive_rays(self, num_rays_in_batch: int):
+        if self._prev_num_samples is None:
+            return
+        samples_per_ray = self._prev_num_samples / max(num_rays_in_batch, 1)
+        num_rays = self.cfg.target_sample_size / max(samples_per_ray, 1)
+        num_rays = int(min(num_rays, 2 ** 18))
+        # bucket to powers of two: stable jit cache (SURVEY.md §5.7 recompilation-free sizing)
+        num_rays = 2 ** int(math.floor(math.log2(max(num_rays, 256))))
+        if isinstance(self.train_dataset.transform, SampleRays):
+            self.train_dataset.transform.set_num_samples(num_rays)
+
+    def compute_loss(self, pipeline, batch, key):
+        rays, img_gts, step_idx = batch
+        lod_idx = None
+        rb = pipeline(rays=rays, lod_idx=lod_idx, channels=["rgb", "alpha"], key=key)
+
+        if self.cfg.rgb_loss_type == "l2":
+            rgb_loss = (rb.rgb - img_gts) ** 2
+        elif self.cfg.rgb_loss_type == "l1":
+            rgb_loss = jnp.abs(rb.rgb - img_gts)
+        elif self.cfg.rgb_loss_type == "huber":
+            diff = rb.rgb - img_gts
+            adiff = jnp.abs(diff)
+            rgb_loss = jnp.where(adiff < 1.0, 0.5 * diff ** 2, adiff - 0.5)
+        else:
+            raise NotImplementedError(self.cfg.rgb_loss_type)
+
+        num_valid_samples = jnp.maximum(
+            getattr(rb, "num_valid_samples", jnp.asarray(1.0)), 1.0)
+        if self.cfg.rgb_loss_denom == "samples":
+            rgb_loss = rgb_loss.sum() / num_valid_samples
+        else:
+            rgb_loss = rgb_loss.mean()
+        loss = self.cfg.rgb_lambda * rgb_loss
+
+        opacity_loss = jnp.asarray(0.0)
+        if self.cfg.opacity_loss > 0.0:
+            # applied for the first 1000 iterations only (reference :160-162); the iteration
+            # index is a traced scalar so the gate doesn't bake into the compiled program
+            opacity_loss = jnp.mean((1.0 - rb.alpha) ** 2)
+            loss = loss + jnp.where(step_idx < 1000,
+                                    self.cfg.opacity_loss * opacity_loss, 0.0)
+
+        return loss, {"rgb_loss": rgb_loss, "opacity_loss": opacity_loss,
+                      "num_valid_samples": num_valid_samples}
+
+    def step(self, data):
+        rays: Rays = data["rays"]
+        img_gts = data["rgb"]
+        batch = (Rays(jnp.asarray(rays.origins), jnp.asarray(rays.dirs),
+                      rays.dist_min, rays.dist_max), jnp.asarray(img_gts),
+                 jnp.asarray(self.total_iterations, jnp.int32))
+        loss, aux = self.run_step(batch)
+        self.tracker.metrics.total_loss += float(loss)
+        self.tracker.metrics.rgb_loss += float(aux["rgb_loss"])
+        self._prev_num_samples = float(aux.get("num_valid_samples", 0.0)) or None
+        self.calc_adaptive_rays(rays.origins.shape[0])
+
+    def log_console(self):
+        total_loss = self.tracker.metrics.average_metric("total_loss")
+        rgb_loss = self.tracker.metrics.average_metric("rgb_loss")
+        log.info("EPOCH {}/{} | total loss: {:>.3E} | rgb loss: {:>.3E}".format(
+            self.epoch, self.max_epochs, total_loss, rgb_loss))
+
+    # -- validation (reference :191-303) -------------------------------------------------------
+    _infer_cache = None
+
+    def render_view(self, pipeline, rays: Rays, chunk: int = 32768):
+        """Full-view inference in chunks through a jitted (cached) tracer call."""
+        if self._infer_cache is None:
+            self._infer_cache = jax.jit(
+                lambda p, r: p(rays=r, channels=["rgb", "alpha", "depth"]))
+        infer = self._infer_cache
+
+        outs = []
+        n = rays.origins.shape[0]
+        pad = (-n) % chunk
+        origins = np.concatenate([np.asarray(rays.origins),
+                                  np.zeros((pad, 3), np.float32)])
+        dirs = np.concatenate([np.asarray(rays.dirs), np.ones((pad, 3), np.float32)])
+        for i in range(0, n + pad, chunk):
+            r = Rays(jnp.asarray(origins[i:i + chunk]), jnp.asarray(dirs[i:i + chunk]),
+                     rays.dist_min, rays.dist_max)
+            outs.append(jax.device_get(infer(pipeline, r)))
+        rgb = np.concatenate([np.asarray(o.rgb) for o in outs])[:n]
+        return rgb
+
+    def evaluate_metrics(self, dataset, lod_idx=None, name: str = "validation"):
+        pipeline = self.sync_pipeline()
+        h, w = dataset.img_shape
+        psnrs, ssims, lpipss = [], [], []
+        for i in range(len(dataset)):
+            batch = dataset.data  # untransformed full views
+            rays = batch["rays"][i]
+            gts = np.asarray(batch["rgb"][i])
+            rgb = self.render_view(pipeline, rays)
+            if "psnr" in self.cfg.valid_metrics:
+                psnrs.append(psnr_fn(rgb, gts))
+            if "ssim" in self.cfg.valid_metrics:
+                ssims.append(ssim_fn(rgb.reshape(h, w, 3), gts.reshape(h, w, 3)))
+            if "lpips" in self.cfg.valid_metrics:
+                lpipss.append(lpips_fn(rgb.reshape(h, w, 3), gts.reshape(h, w, 3)))
+            if self.cfg.save_valid_imgs:
+                from wisp_tpu.ops.image.io import write_png
+                write_png(os.path.join(self.tracker.log_dir, f"{name}_{i}.png"),
+                          rgb.reshape(h, w, 3))
+        metrics = {}
+        if psnrs:
+            metrics["psnr"] = float(np.mean(psnrs))
+        if ssims:
+            metrics["ssim"] = float(np.mean(ssims))
+        if lpipss:
+            metrics["lpips"] = float(np.mean(lpipss))
+        return metrics
+
+    def validate(self) -> Dict[str, Any]:
+        dataset = self.validation_dataset if self.validation_dataset is not None \
+            else self.train_dataset
+        metrics = self.evaluate_metrics(dataset, name=f"ep{self.epoch}")
+        log_text = "EPOCH {}/{}".format(self.epoch, self.max_epochs)
+        for k, v in metrics.items():
+            log_text += " | {}: {:.2f}".format(k, v)
+            self.tracker.log_metric(f"validation/{k}", v, self.epoch)
+        log.info(log_text)
+
+        record_dict = self.tracker.get_record_dict() or {}
+        record_dict.update(metrics)
+        record_dict["epoch"] = self.epoch
+        try:
+            import pandas as pd
+            parquet_path = os.path.join(self.tracker.log_dir, "logs.parquet")
+            df = pd.DataFrame([record_dict])
+            if os.path.exists(parquet_path):
+                df = pd.concat([pd.read_parquet(parquet_path), df], ignore_index=True)
+            df.to_parquet(parquet_path)
+        except Exception as e:  # noqa: BLE001
+            log.warning(f"parquet record write failed: {e}")
+
+        self.return_dict.update(metrics)
+        self.return_dict.setdefault("psnr_by_epoch", {})[self.epoch] = metrics.get("psnr")
+        return metrics
