@@ -39,12 +39,14 @@ def main():
     num_rays = int(os.environ.get("BENCH_RAYS", 4096))
     num_steps = int(os.environ.get("BENCH_STEPS", 512))
     iters = int(os.environ.get("BENCH_ITERS", 50))
+    num_lods = int(os.environ.get("BENCH_LODS", 16))
+    bitwidth = int(os.environ.get("BENCH_BITWIDTH", 19))
 
     blas = OctreeAS.make_dense(7)
-    grid = HashGrid.from_geometric(blas=blas, feature_dim=2, num_lods=16,
+    grid = HashGrid.from_geometric(blas=blas, feature_dim=2, num_lods=num_lods,
                                    multiscale_type="cat", feature_std=1e-9,
-                                   codebook_bitwidth=19, min_grid_res=16, max_grid_res=512,
-                                   key=jax.random.PRNGKey(1))
+                                   codebook_bitwidth=bitwidth, min_grid_res=16,
+                                   max_grid_res=512, key=jax.random.PRNGKey(1))
     nef = NeuralRadianceField(grid=grid, view_embedder="positional", view_multires=4,
                               hidden_dim=64, num_layers=1, bias=True,
                               key=jax.random.PRNGKey(2))
@@ -82,8 +84,12 @@ def main():
     batch = (rays, jnp.asarray(gts), jnp.asarray(0, jnp.int32))
 
     # warmup (compile)
+    t_c = time.perf_counter()
     trainer._step_fn = trainer._build_step()
-    for _ in range(3):
+    loss, aux = trainer.run_step(batch)
+    jax.block_until_ready(trainer._diff)
+    compile_s = time.perf_counter() - t_c
+    for _ in range(2):
         loss, aux = trainer.run_step(batch)
     jax.block_until_ready(trainer._diff)
 
@@ -102,6 +108,8 @@ def main():
         "detail": {
             "num_rays": num_rays, "num_steps": num_steps, "iters": iters,
             "wall_s": round(dt, 3),
+            "compile_s": round(compile_s, 1),
+            "num_lods": num_lods, "bitwidth": bitwidth,
             "samples_per_sec": round(num_rays * num_steps * iters / dt, 1),
             "device": str(jax.devices()[0]),
             "final_loss": float(loss),

@@ -1,0 +1,165 @@
+"""Tests for the renderer layer: RendererCore compositing, camera controllers, datalayers,
+and the headless OptimizationApp loop (counterpart of the reference's interactive stack,
+exercised headless — the reference itself has no renderer tests)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wisp_tpu.core import Camera, Rays, RenderBuffer
+from wisp_tpu.framework.state import WispState
+from wisp_tpu.renderer import RendererCore, OptimizationApp, WispApp
+from wisp_tpu.renderer.core.api import (BottomLevelRenderer, field_renderer,
+                                        create_neural_field_renderer, add_to_scene_graph)
+from wisp_tpu.renderer.core.control import TurntableMode, TrackballMode, FirstPersonMode
+
+
+class _FlatRenderer(BottomLevelRenderer):
+    """Renders constant color + depth — stub object for compositing tests."""
+
+    def __init__(self, pipeline=None, color=(1.0, 0.0, 0.0), depth=1.0):
+        super().__init__(pipeline)
+        self.color = color
+        self.depth_val = depth
+
+    def render(self, rays):
+        n = rays.origins.shape[0]
+        return RenderBuffer(
+            rgb=jnp.broadcast_to(jnp.asarray(self.color), (n, 3)),
+            alpha=jnp.ones((n, 1)),
+            depth=jnp.full((n, 1), self.depth_val))
+
+
+class TestRendererCore:
+    def _core(self):
+        state = WispState()
+        state.renderer.canvas_width = 32
+        state.renderer.canvas_height = 32
+        core = RendererCore(state)
+        return state, core
+
+    def test_composites_by_depth(self):
+        state, core = self._core()
+        core.bl_renderers = {
+            "far": _FlatRenderer(color=(0.0, 0.0, 1.0), depth=5.0),
+            "near": _FlatRenderer(color=(1.0, 0.0, 0.0), depth=1.0),
+        }
+        state.graph.visible_objects = {"far": True, "near": True}
+        from wisp_tpu.renderer.core.render_core import ListTLAS
+        core._tlas = ListTLAS(core.bl_renderers)
+        rb = core.render()
+        assert rb.rgb.shape == (32, 32, 3)
+        np.testing.assert_allclose(np.asarray(rb.rgb[16, 16]), [1.0, 0.0, 0.0], atol=1e-5)
+
+    def test_visibility_filter(self):
+        state, core = self._core()
+        core.bl_renderers = {"a": _FlatRenderer(color=(0.0, 1.0, 0.0), depth=1.0)}
+        state.graph.visible_objects = {"a": False}
+        from wisp_tpu.renderer.core.render_core import ListTLAS
+        core._tlas = ListTLAS(core.bl_renderers)
+        rb = core.render()
+        np.testing.assert_allclose(np.asarray(rb.alpha).max(), 0.0)
+
+    def test_channel_mapping(self):
+        state, core = self._core()
+        rb = RenderBuffer(rgb=jnp.full((4, 4, 3), 0.5), alpha=jnp.ones((4, 4, 1)),
+                          depth=jnp.linspace(0, 1, 16).reshape(4, 4, 1))
+        rgb = core.map_output_channels_to_rgba(rb, "depth")
+        assert rgb.shape == (4, 4, 3)
+        assert rgb.max() <= 1.0
+
+
+class TestRendererFactory:
+    def test_registry_mro_match(self):
+        class MyField:
+            pass
+
+        class MyTracer:
+            pass
+
+        @field_renderer(MyField, MyTracer)
+        class MyRenderer(BottomLevelRenderer):
+            pass
+
+        class Pipe:
+            nef = MyField()
+            tracer = MyTracer()
+
+        r = create_neural_field_renderer(Pipe())
+        assert isinstance(r, MyRenderer)
+
+    def test_default_fallback(self):
+        class Pipe:
+            nef = object()
+            tracer = object()
+
+        from wisp_tpu.renderer.core.api import RayTracedRenderer
+        assert isinstance(create_neural_field_renderer(Pipe()), RayTracedRenderer)
+
+
+class TestCameraControllers:
+    def _cam(self):
+        return Camera.from_args(eye=(0.0, 0.0, -3.0), at=(0.0, 0.0, 0.0),
+                                width=64, height=64, fov=np.radians(30.0))
+
+    def test_turntable_orbit_preserves_radius(self):
+        mode = TurntableMode(self._cam())
+        cam = mode.handle_mouse_drag(50.0, 0.0)
+        assert abs(np.linalg.norm(cam.cam_pos) - 3.0) < 1e-4
+        assert np.linalg.norm(cam.cam_pos - np.asarray([0, 0, -3.0])) > 0.1
+
+    def test_trackball_rotation(self):
+        mode = TrackballMode(self._cam())
+        cam = mode.handle_mouse_drag(30.0, 10.0)
+        assert abs(np.linalg.norm(cam.cam_pos) - 3.0) < 1e-3
+
+    def test_first_person_look(self):
+        mode = FirstPersonMode(self._cam())
+        cam = mode.handle_mouse_drag(100.0, 0.0)
+        np.testing.assert_allclose(cam.cam_pos, [0, 0, -3.0], atol=1e-5)  # eye fixed
+
+    def test_zoom(self):
+        mode = TurntableMode(self._cam())
+        cam = mode.handle_mouse_scroll(1.0)
+        assert np.linalg.norm(cam.cam_pos) < 3.0
+
+
+class TestDatalayers:
+    def test_octree_wireframes(self):
+        from wisp_tpu.accelstructs import OctreeAS
+        from wisp_tpu.gfx.datalayers import OctreeDatalayers
+        blas = OctreeAS.from_quantized_points(np.array([[0, 0, 0]], dtype=np.int32), 2)
+        layers = OctreeDatalayers().regenerate_data_layers(blas)
+        assert len(layers) == 3
+        lines = layers["Octree LOD2"].lines
+        assert lines is not None and len(lines[0]) == 12  # one cell → 12 edges
+
+    def test_camera_frustum(self):
+        from wisp_tpu.gfx.datalayers import CameraDatalayers
+        cam = Camera.from_args(eye=(0, 0, -3.0), at=(0, 0, 0), width=64, height=64,
+                               fov=np.radians(30.0))
+        layers = CameraDatalayers().regenerate_data_layers({"cam": cam})
+        assert len(layers["Cameras"]) > 0
+
+
+class TestOptimizationApp:
+    def test_headless_training_loop(self, tmp_path):
+        """OptimizationApp drives trainer steps + renders frames headless
+        (reference optimization_app.py wires trainer.iterate into on_idle)."""
+        state = WispState()
+        state.renderer.canvas_width = 16
+        state.renderer.canvas_height = 16
+        counter = {"steps": 0}
+
+        def fake_iterate():
+            counter["steps"] += 1
+            if counter["steps"] >= 5:
+                state.optimization.running = False
+
+        from wisp_tpu.renderer.app.wisp_app import DiskPresenter
+        app = OptimizationApp(state, trainer_step_func=fake_iterate,
+                              presenter=DiskPresenter(str(tmp_path)))
+        app.run(max_iterations=6, render_every=3)
+        assert counter["steps"] == 5
+        import os
+        assert any(f.endswith(".png") for f in os.listdir(tmp_path))

@@ -91,6 +91,10 @@ def autoconfig(*ctors, exclude: Sequence[str] = ()):
             sig = inspect.signature(sig_fn)
         except (TypeError, ValueError):
             sig = inspect.Signature()
+        try:
+            hints = typing.get_type_hints(sig_fn)
+        except Exception:  # noqa: BLE001 - unresolvable forward refs
+            hints = {}
         fields = []
         for pname, param in sig.parameters.items():
             if pname in ("self", "cls", "args", "kwargs") or pname in exclude:
@@ -99,6 +103,8 @@ def autoconfig(*ctors, exclude: Sequence[str] = ()):
                 continue
             if pname in _SKIP_PARAM_TYPES:
                 continue
+            if pname in hints:  # resolve string annotations (from __future__ annotations)
+                param = param.replace(annotation=hints[pname])
             ann, fld = _field_spec(param)
             if not _is_cli_type(ann):
                 continue

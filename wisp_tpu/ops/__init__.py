@@ -1,1 +1,1 @@
-from wisp_tpu.ops import grid, geometric, differential
+from wisp_tpu.ops import grid, geometric, differential, spc, image, mesh, sdf, raygen, shaders, pointcloud

@@ -1,0 +1,2 @@
+from wisp_tpu.ops.pointcloud.processing import (create_pointcloud_from_images,
+                                                normalize_pointcloud)

@@ -1,0 +1,150 @@
+"""RendererCore + TLAS — the scene-graph compositor.
+
+Counterpart of reference wisp/renderer/core/render_core.py:35-541. Renders every visible
+scene-graph object through its BottomLevelRenderer and composites the RenderBuffers with
+depth-aware channel blending; rays are transformed by each object's inverse model matrix
+before tracing (the reference's 'ListTLAS' traversal, :511-541). FPS-adaptive resolution
+scaling (:227-285) is preserved for interactive front-ends (jupyter/web); the CUDA-GL blit
+becomes a plain device→host frame fetch on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from wisp_tpu.core.camera import Camera
+from wisp_tpu.core.channel_fn import normalize
+from wisp_tpu.core.rays import Rays
+from wisp_tpu.core.render_buffer import RenderBuffer
+from wisp_tpu.framework.state import BottomLevelRendererState, WispState
+from wisp_tpu.ops.raygen.raygen import generate_ortho_rays, generate_pinhole_rays
+from wisp_tpu.renderer.core.api.base_renderer import BottomLevelRenderer, FramePayload
+from wisp_tpu.renderer.core.api.renderers_factory import create_neural_field_renderer
+
+
+class TLAS:
+    """Top-level 'acceleration' structure interface (reference render_core.py:511-519)."""
+
+    def traverse(self, rays: Rays, payload: FramePayload):
+        raise NotImplementedError
+
+
+class ListTLAS(TLAS):
+    """Plain list traversal: yield (name, renderer, object-space rays) for each visible
+    object, transforming rays by the inverse model matrix (reference :521-541)."""
+
+    def __init__(self, renderers: Dict[str, BottomLevelRenderer],
+                 transforms: Optional[Dict[str, object]] = None):
+        self.renderers = renderers
+        self.transforms = transforms or {}
+
+    def traverse(self, rays: Rays, payload: FramePayload):
+        import jax.numpy as jnp
+        for name, renderer in self.renderers.items():
+            if not payload.visible_objects.get(name, True):
+                continue
+            transform = self.transforms.get(name)
+            obj_rays = rays
+            if transform is not None:
+                inv = transform.inv_model_matrix()
+                o = jnp.concatenate([rays.origins,
+                                     jnp.ones_like(rays.origins[..., :1])], -1) @ inv.T
+                d = rays.dirs @ inv[:3, :3].T
+                obj_rays = Rays(o[..., :3], d, rays.dist_min, rays.dist_max)
+            yield name, renderer, obj_rays
+
+
+class RendererCore:
+    def __init__(self, state: WispState):
+        self.state = state
+        self.bl_renderers: Dict[str, BottomLevelRenderer] = {}
+        self.camera = state.renderer.selected_camera or Camera.from_args(
+            eye=(-3.0, 0.65, -3.0), at=(0.0, 0.0, 0.0),
+            width=state.renderer.canvas_width, height=state.renderer.canvas_height,
+            fov=np.radians(30.0))
+        self.res_x = state.renderer.canvas_width
+        self.res_y = state.renderer.canvas_height
+        self._tlas = None
+
+    # -- scene graph sync (reference render_core.py:121-190) -----------------------------------
+    def refresh_bl_renderers(self) -> None:
+        """Create renderers for newly-added scene-graph pipelines."""
+        for name, pipeline in self.state.graph.neural_pipelines.items():
+            if name not in self.bl_renderers:
+                self.bl_renderers[name] = create_neural_field_renderer(pipeline)
+                self.state.graph.bl_renderers[name] = BottomLevelRendererState(
+                    renderer=self.bl_renderers[name], status="loaded")
+            else:
+                # keep pipeline fresh (trainer may swap updated pytrees in)
+                self.bl_renderers[name].pipeline = pipeline
+                self.bl_renderers[name]._infer = getattr(
+                    self.bl_renderers[name], "_infer", None)
+        self._tlas = ListTLAS(self.bl_renderers)
+
+    def redraw(self) -> None:
+        self.refresh_bl_renderers()
+        self.state.renderer.canvas_dirty = False
+
+    # -- adaptive resolution (reference render_core.py:227-285) --------------------------------
+    def _prepare_payload(self, time_delta: float = 0.0) -> FramePayload:
+        interactive = self.state.renderer.interactive_mode
+        res_x, res_y = self.res_x, self.res_y
+        target_fps = self.state.renderer.target_fps
+        if interactive and target_fps and self.state.renderer.fps and \
+                self.state.renderer.fps < target_fps:
+            scale = max(np.sqrt(self.state.renderer.fps / target_fps), 0.25)
+            res_x = max(int(res_x * scale), 64)
+            res_y = max(int(res_y * scale), 64)
+        return FramePayload(camera=self.camera.resize(res_x, res_y),
+                            render_res_x=res_x, render_res_y=res_y,
+                            time_delta=time_delta,
+                            visible_objects=dict(self.state.graph.visible_objects),
+                            channels=tuple(self.state.renderer.available_canvas_channels),
+                            interactive_mode=interactive)
+
+    def raygen(self, camera: Camera) -> Rays:
+        """(reference render_core.py:287-295)"""
+        if camera.lens == "ortho":
+            return generate_ortho_rays(camera)
+        return generate_pinhole_rays(camera)
+
+    # -- render (reference render_core.py:207-225, 308-372) ------------------------------------
+    def render(self, time_delta: float = 0.0) -> RenderBuffer:
+        if self._tlas is None:
+            self.refresh_bl_renderers()
+        payload = self._prepare_payload(time_delta)
+        rays = self.raygen(payload.camera)
+
+        out: Optional[RenderBuffer] = None
+        kit = self.state.graph.channels
+        for name, renderer, obj_rays in self._tlas.traverse(rays, payload):
+            renderer.pre_render(payload)
+            rb = renderer.render(obj_rays)
+            renderer.post_render()
+            out = rb if out is None else out.blend(rb, kit)
+        if out is None:
+            h, w = payload.render_res_y, payload.render_res_x
+            import jax.numpy as jnp
+            clear = self.state.renderer.clear_color_value
+            out = RenderBuffer(rgb=jnp.broadcast_to(jnp.asarray(clear), (h * w, 3)),
+                               alpha=jnp.zeros((h * w, 1)))
+        return out.reshape(payload.render_res_y, payload.render_res_x, -1)
+
+    def map_output_channels_to_rgba(self, rb: RenderBuffer,
+                                    channel: Optional[str] = None) -> np.ndarray:
+        """Selected channel → displayable rgb via the channel kit's normalize fns
+        (reference render_core.py:438)."""
+        channel = channel or self.state.renderer.selected_canvas_channel
+        kit = self.state.graph.channels
+        data = rb.channels.get(channel)
+        if data is None:
+            return np.zeros((*rb.rgb.shape[:-1], 3), np.float32)
+        ch = kit.get(channel)
+        arr = np.asarray(ch.normalize_fn(data, ch.min_val, ch.max_val)
+                         if ch is not None else normalize(data))
+        if arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        return arr[..., :3]
