@@ -1,0 +1,57 @@
+"""Checkpoint/resume tests — params, optimizer state and counters must round-trip
+(capability beyond the reference, which restores weights only — SURVEY.md §5.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wisp_tpu.models.grids import HashGrid
+from wisp_tpu.models.nefs import ImageNeuralField
+from wisp_tpu.models.pipeline import Pipeline
+from wisp_tpu.datasets import ImageDataset
+from wisp_tpu.trainers import ImageTrainer, ConfigBaseTrainer
+from wisp_tpu.trainers.checkpoint import restore_checkpoint, save_checkpoint
+from wisp_tpu.trainers.tracker import Tracker, ConfigTracker
+
+
+def _make_trainer(tmp_path, seed=0):
+    from app.image.main_image import make_test_image
+    img_path = str(tmp_path / "img.png")
+    make_test_image(img_path, size=64)
+    ds = ImageDataset(img_path, num_pixels_per_image=512)
+    grid = HashGrid.from_geometric(feature_dim=2, num_lods=4, codebook_bitwidth=10,
+                                   min_grid_res=4, max_grid_res=32, coord_dim=2,
+                                   key=jax.random.PRNGKey(seed))
+    nef = ImageNeuralField(grid=grid, hidden_dim=32, key=jax.random.PRNGKey(seed + 1))
+    cfg = ConfigBaseTrainer(max_epochs=2, render_every=-1, save_every=-1, valid_every=-1,
+                            exp_name="ckpt-test")
+    tracker = Tracker(ConfigTracker(tensorboard=False, log_dir=str(tmp_path / "logs")),
+                      "ckpt-test")
+    return ImageTrainer(cfg=cfg, pipeline=Pipeline(nef=nef), train_dataset=ds,
+                        tracker=tracker)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    t1 = _make_trainer(tmp_path)
+    t1.pre_training()
+    data = t1.train_dataset[0]
+    for _ in range(3):
+        t1.step(data)
+    t1.epoch = 7
+    t1.iteration = 3
+    path = save_checkpoint(t1, str(tmp_path / "ckpt"))
+
+    t2 = _make_trainer(tmp_path, seed=5)  # different init
+    before = np.asarray(list(t2._diff.values())[0]).copy()
+    restore_checkpoint(t2, path)
+    assert t2.epoch == 7 and t2.iteration == 3
+    # params restored (different from t2's fresh init)
+    key = sorted(t1._diff.keys())[0]
+    np.testing.assert_array_equal(np.asarray(t2._diff[key]), np.asarray(t1._diff[key]))
+    # optimizer state restored too (adam moments non-zero after steps)
+    flat = jax.tree_util.tree_leaves(t2.opt_state)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in flat
+               if hasattr(l, "dtype") and np.issubdtype(np.asarray(l).dtype, np.floating))
+    # resumed trainer can keep stepping
+    t2.pre_training()
+    t2.step(data)

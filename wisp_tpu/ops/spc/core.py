@@ -108,8 +108,21 @@ def build_level_table(quantized_points: np.ndarray, level: int
     Returns (codes_per_level, points_per_level), level 0..level, each sorted by morton —
     the counterpart of kaolin's unbatched_points_to_octree + scan_octrees + generate_points
     chain (reference ops/spc/conversions.py:72-88): same information, table layout instead of
-    packed bytes.
+    packed bytes. Uses the native C++ builder (wisp_tpu/csrc) when available — construction
+    is host-side and sort/unique-bound at reference scales (100M mesh samples).
     """
+    native = _native()
+    if native is not None:
+        codes = native.morton_encode(np.asarray(quantized_points, dtype=np.int32))
+        codes = np.unique(codes)
+        codes_per_level = [None] * (level + 1)
+        codes_per_level[level] = codes
+        for l in range(level - 1, -1, -1):
+            codes = native.parent_level(codes)
+            codes_per_level[l] = codes
+        points_per_level = [native.morton_decode(c) for c in codes_per_level]
+        return codes_per_level, points_per_level
+
     codes = np.unique(points_to_morton(quantized_points))
     codes_per_level = [None] * (level + 1)
     codes_per_level[level] = codes
@@ -118,6 +131,15 @@ def build_level_table(quantized_points: np.ndarray, level: int
         codes_per_level[l] = codes
     points_per_level = [morton_to_points(c) for c in codes_per_level]
     return codes_per_level, points_per_level
+
+
+def _native():
+    """The optional C++ builder (None when unavailable)."""
+    try:
+        from wisp_tpu import csrc
+        return csrc if csrc.available() else None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def points_to_corners(points) -> jax.Array:
