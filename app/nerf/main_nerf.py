@@ -44,6 +44,7 @@ def _grid_configs():
 @dataclasses.dataclass
 class NeRFAppConfig:
     blas_level: int = 7
+    sparse_blas: bool = False
     nef: autoconfig(NeuralRadianceField) = None
     grid: None = None  # filled below (needs lazy import of the full grid zoo)
     tracer: autoconfig(PackedRFTracer) = None
@@ -70,8 +71,12 @@ def main(argv=None):
         cfg.trainer.valid_split if cfg.trainer.valid_split else "val", transform=None)
 
     # BLAS: dense octree carved by pruning (reference main_nerf.py:92-101 uses
-    # OctreeAS.make_dense(blas_level); RTMV-style depth datasets pre-prune from pointcloud)
+    # OctreeAS.make_dense(blas_level); RTMV-style depth datasets pre-prune from pointcloud).
+    # --sparse-blas builds sparse topology from available geometry (required by OctreeGrid /
+    # CodebookOctreeGrid, which store features on the sparse octree).
     pc = train_dataset.as_pointcloud()
+    if pc is None and cfg.sparse_blas and hasattr(train_dataset, "scene_pointcloud"):
+        pc = train_dataset.scene_pointcloud()
     if pc is not None:
         blas = OctreeAS.from_pointcloud(pc, cfg.blas_level, dilate=2)
     else:

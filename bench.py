@@ -41,6 +41,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 50))
     num_lods = int(os.environ.get("BENCH_LODS", 16))
     bitwidth = int(os.environ.get("BENCH_BITWIDTH", 19))
+    compaction = float(os.environ.get("BENCH_COMPACTION", 0.5))
 
     blas = OctreeAS.make_dense(7)
     grid = HashGrid.from_geometric(blas=blas, feature_dim=2, num_lods=num_lods,
@@ -51,7 +52,7 @@ def main():
                               hidden_dim=64, num_layers=1, bias=True,
                               key=jax.random.PRNGKey(2))
     tracer = PackedRFTracer(raymarch_type="ray", num_steps=num_steps,
-                            bg_color=(0.0, 0.0, 0.0))
+                            bg_color=(0.0, 0.0, 0.0), compaction=compaction)
     pipeline = Pipeline(nef=nef, tracer=tracer)
 
     cfg = ConfigMultiviewTrainer(
@@ -83,20 +84,21 @@ def main():
     rays = Rays(jnp.asarray(origins), jnp.asarray(dirs), 0.0, 6.0)
     batch = (rays, jnp.asarray(gts), jnp.asarray(0, jnp.int32))
 
-    # warmup (compile)
+    # warmup (compile). NOTE: block_until_ready does NOT synchronize on this remote
+    # platform; fetching a scalar derived from the result is the only hard sync.
     t_c = time.perf_counter()
     trainer._step_fn = trainer._build_step()
     loss, aux = trainer.run_step(batch)
-    jax.block_until_ready(trainer._diff)
+    _ = float(loss)
     compile_s = time.perf_counter() - t_c
     for _ in range(2):
         loss, aux = trainer.run_step(batch)
-    jax.block_until_ready(trainer._diff)
+    _ = float(loss)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, aux = trainer.run_step(batch)
-    jax.block_until_ready(trainer._diff)
+    _ = float(loss)  # chain-dependent hard sync
     dt = time.perf_counter() - t0
 
     rays_per_sec = num_rays * iters / dt
@@ -109,7 +111,7 @@ def main():
             "num_rays": num_rays, "num_steps": num_steps, "iters": iters,
             "wall_s": round(dt, 3),
             "compile_s": round(compile_s, 1),
-            "num_lods": num_lods, "bitwidth": bitwidth,
+            "num_lods": num_lods, "bitwidth": bitwidth, "compaction": compaction,
             "samples_per_sec": round(num_rays * num_steps * iters / dt, 1),
             "device": str(jax.devices()[0]),
             "final_loss": float(loss),

@@ -54,3 +54,63 @@ def test_nerf_hash_quick():
     ], epochs=15)
     assert "psnr" in result
     assert result["psnr"] > 24.0, f"PSNR too low: {result}"
+
+
+def _light(extra, epochs=6):
+    return _run([
+        "--dataset.num-views", "8",
+        "--dataset.height", "48", "--dataset.width", "48",
+        "--dataset.num-gt-samples", "256",
+        "--dataset-transform.num-samples", "1024",
+    ] + extra, epochs=epochs)
+
+
+def test_nerf_triplanar_quick():
+    """Triplanar-grid NeRF learns on the synthetic scene (short smoke: loss falls, PSNR
+    clears a low floor — mirrors reference triplanar CI, test_nerf.py:154)."""
+    result = _light([
+        "--grid.constructor", "TriplanarGrid",
+        "--grid.feature-dim", "4",
+        "--grid.log-base-resolution", "3",
+        "--grid.num-lods", "4",
+        "--grid.feature-std", "0.01",
+        "--grid.multiscale-type", "sum",
+        "--tracer.raymarch-type", "ray",
+        "--tracer.num-steps", "96",
+    ], epochs=8)
+    assert result["psnr"] > 16.0, f"PSNR too low: {result}"
+
+
+def test_nerf_codebook_quick():
+    """VQAD codebook NeRF learns (straight-through dictionary lookup path; mirrors
+    reference codebook CI, test_nerf.py:176)."""
+    result = _light([
+        "--grid.constructor", "CodebookOctreeGrid",
+        "--grid.feature-dim", "5",
+        "--grid.num-lods", "2",
+        "--grid.codebook-bitwidth", "6",
+        "--grid.feature-std", "0.1",
+        "--grid.multiscale-type", "sum",
+        "--tracer.raymarch-type", "ray",
+        "--tracer.num-steps", "96",
+        "--blas-level", "4",
+        "--sparse-blas", "true",
+    ], epochs=8)
+    assert result["psnr"] > 14.0, f"PSNR too low: {result}"
+
+
+def test_nerf_octree_grid_quick():
+    """NGLOD-style OctreeGrid NeRF learns (multi-level feature query path; mirrors
+    reference octree CI, test_nerf.py:109)."""
+    result = _light([
+        "--grid.constructor", "OctreeGrid",
+        "--grid.feature-dim", "8",
+        "--grid.num-lods", "2",
+        "--grid.feature-std", "0.01",
+        "--grid.multiscale-type", "sum",
+        "--tracer.raymarch-type", "ray",
+        "--tracer.num-steps", "96",
+        "--blas-level", "4",
+        "--sparse-blas", "true",
+    ], epochs=8)
+    assert result["psnr"] > 16.0, f"PSNR too low: {result}"

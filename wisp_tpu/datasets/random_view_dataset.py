@@ -140,6 +140,16 @@ class RandomViewDataset(MultiviewDataset):
     def cameras(self):
         return self._cameras
 
+    def scene_pointcloud(self, num_points: int = 200000, threshold: float = 1.0
+                         ) -> np.ndarray:
+        """Points inside the analytic scene's occupied region — lets apps build a sparse
+        acceleration structure for this dataset (the RTMV depth-pointcloud analog)."""
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-1.0, 1.0, (num_points * 4, 3)).astype(np.float32)
+        density, _ = scene_density_color(jnp.asarray(pts))
+        keep = np.asarray(density[:, 0]) > threshold
+        return pts[keep][:num_points]
+
     def public_properties(self) -> dict:
         return {"Views": self.num_views, "Resolution": f"{self.width}x{self.height}",
                 "Scene": "procedural boxes"}

@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Set, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from wisp_tpu.core.render_buffer import RenderBuffer
 from wisp_tpu.tracers.base_tracer import BaseTracer
@@ -30,11 +31,13 @@ class PackedRFTracer(BaseTracer):
                  raymarch_type: str = "ray",
                  num_steps: int = 1024,
                  step_size: float = 1.0,
-                 bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)):
+                 bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+                 compaction: float = 0.0):
         super().__init__(bg_color=bg_color)
         self.raymarch_type = raymarch_type
         self.num_steps = num_steps
         self.step_size = step_size
+        self.compaction = compaction
         self.prev_num_samples = None  # host-side counter for adaptive ray batching
 
     def get_prev_num_samples(self) -> Optional[int]:
@@ -50,7 +53,7 @@ class PackedRFTracer(BaseTracer):
 
     def trace(self, nef, rays, channels, extra_channels,
               lod_idx=None, raymarch_type="voxel", num_steps=64, step_size=1.0,
-              bg_color=(1.0, 1.0, 1.0), key=None):
+              bg_color=(1.0, 1.0, 1.0), key=None, compaction=None):
         assert nef.grid is not None, "this tracer requires a grid"
         n = rays.origins.shape[0]
         if lod_idx is None:
@@ -66,9 +69,28 @@ class PackedRFTracer(BaseTracer):
 
         flat = samples.reshape(n * s, 3)
         ray_d = jnp.broadcast_to(rays.dirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
-        out = nef(channels=["rgb", "density"], coords=flat, ray_d=ray_d, lod_idx=lod_idx)
-        color = out["rgb"].reshape(n, s, 3)
-        density = out["density"].reshape(n, s)
+        if compaction and compaction > 0.0:
+            # Sample compaction: the fixed-shape analog of the reference's packed-sample
+            # culling (octree_as.py fast_filter_method, :21-34) — only occupied samples pay
+            # for interpolation + decoding. Valid samples gather into a static budget B;
+            # results scatter back with out-of-bounds drop semantics for the padding.
+            budget = int(np.ceil(n * s * float(compaction) / 128.0)) * 128
+            budget = min(budget, n * s)
+            flat_mask = mask.reshape(n * s)
+            (idx,) = jnp.nonzero(flat_mask, size=budget, fill_value=n * s)
+            cflat = jnp.take(flat, jnp.minimum(idx, n * s - 1), axis=0)
+            cray_d = jnp.take(ray_d, jnp.minimum(idx, n * s - 1), axis=0)
+            out = nef(channels=["rgb", "density"], coords=cflat, ray_d=cray_d,
+                      lod_idx=lod_idx)
+            color = jnp.zeros((n * s, 3), out["rgb"].dtype).at[idx].set(
+                out["rgb"], mode="drop").reshape(n, s, 3)
+            density = jnp.zeros((n * s,), out["density"].dtype).at[idx].set(
+                out["density"][:, 0], mode="drop").reshape(n, s)
+        else:
+            out = nef(channels=["rgb", "density"], coords=flat, ray_d=ray_d,
+                      lod_idx=lod_idx)
+            color = out["rgb"].reshape(n, s, 3)
+            density = out["density"].reshape(n, s)
 
         tau = density * deltas * mask.astype(density.dtype)            # optical thickness
         sum_prev = jnp.cumsum(tau, axis=-1) - tau                      # exclusive prefix
