@@ -143,10 +143,94 @@ class NeRFSyntheticDataset(MultiviewDataset):
         self._cameras = cameras
         return {"rays": all_rays, "rgb": rgbs, "masks": masks}
 
+    @staticmethod
+    def _load_frame_entry(args):
+        """Worker: decode one frame (reference _load_single_entry, :245-269)."""
+        fpath, mip, bg_white = args
+        import numpy as np
+        from PIL import Image
+        arr = np.asarray(Image.open(fpath)).astype(np.float32) / 255.0
+        if mip > 0:
+            from wisp_tpu.ops.image.processing import resize_mip
+            arr = resize_mip(arr, mip)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        if arr.shape[-1] == 4:
+            alpha = arr[..., 3:4]
+            rgb = arr[..., :3] * alpha + (1.0 if bg_white else 0.0) * (1.0 - alpha)
+        else:
+            rgb, alpha = arr, np.ones_like(arr[..., :1])
+        return rgb.astype(np.float32), alpha.astype(np.float32)
+
     def load_multiprocess(self) -> Dict:
-        # Image decode is the only hot part; PIL decode in threads adds little on these file
-        # counts — single-process load is used (reference optionally pools, :271-320).
-        return self.load_singleprocess()
+        """Pool-decoded image loading (reference :271-320 uses torch.multiprocessing.Pool;
+        here a stdlib Pool — the only inter-process mechanism the reference has at all,
+        SURVEY.md §2.4)."""
+        import multiprocessing as mp
+        root = os.path.abspath(os.path.expanduser(self.dataset_path))
+        with open(self._transforms_path()) as fh:
+            metadata = json.load(fh)
+        jobs, poses = [], []
+        for frame in metadata["frames"]:
+            fpath = os.path.join(root, frame["file_path"])
+            if not os.path.splitext(fpath)[1]:
+                for ext in (".png", ".jpg", ".exr"):
+                    if os.path.exists(fpath + ext):
+                        fpath = fpath + ext
+                        break
+            if os.path.exists(fpath):
+                jobs.append((fpath, self.mip, self.bg_color == "white"))
+                poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
+        with mp.Pool(min(self.dataset_num_workers, mp.cpu_count())) as pool:
+            decoded = pool.map(self._load_frame_entry, jobs)
+        # splice decoded frames into the single-process pipeline by monkey-free reuse:
+        self._predecoded = (decoded, poses, metadata)
+        try:
+            return self._assemble(decoded, poses, metadata)
+        finally:
+            self._predecoded = None
+
+    def _assemble(self, decoded, poses, metadata) -> Dict:
+        """Camera/ray assembly shared by both load paths."""
+        from wisp_tpu.ops.raygen.raygen import generate_pinhole_rays
+        imgs = [d[0] for d in decoded]
+        alphas = [d[1] for d in decoded]
+        if not imgs:
+            raise RuntimeError("dataset contains no readable frames")
+        h, w = imgs[0].shape[:2]
+        if "fl_x" in metadata:
+            focal_x = metadata["fl_x"] / (2 ** self.mip)
+            focal_y = metadata.get("fl_y", metadata["fl_x"]) / (2 ** self.mip)
+        elif "x_fov" in metadata:
+            focal_x = 0.5 * w / np.tan(0.5 * np.radians(metadata["x_fov"]))
+            focal_y = focal_x
+        else:
+            focal_x = 0.5 * w / np.tan(0.5 * float(metadata["camera_angle_x"]))
+            focal_y = focal_x
+        x0 = metadata.get("cx", w / 2.0) - w / 2.0
+        y0 = metadata.get("cy", h / 2.0) - h / 2.0
+        offset = np.asarray(metadata.get("offset", [0.0, 0.0, 0.0]), dtype=np.float32)
+        scale = float(metadata.get("scale", 1.0))
+        aabb_scale = float(metadata.get("aabb_scale", 1.0))
+        near = float(metadata.get("near", 0.0))
+        far = float(metadata.get("far", 6.0))
+        cameras, all_rays, rgbs, masks = {}, [], [], []
+        for i, (rgb, alpha, pose) in enumerate(zip(imgs, alphas, poses)):
+            c2w = pose.copy()
+            c2w[:3, 3] = (c2w[:3, 3] * scale + offset) / aabb_scale
+            camera = Camera.from_cam_to_world(c2w, width=w, height=h, focal_x=focal_x,
+                                              focal_y=focal_y, x0=x0, y0=y0,
+                                              near=near, far=far)
+            cameras[str(i)] = camera
+            rays = generate_pinhole_rays(camera)
+            all_rays.append(Rays(origins=np.asarray(rays.origins),
+                                 dirs=np.asarray(rays.dirs),
+                                 dist_min=near, dist_max=far))
+            rgbs.append(rgb.reshape(-1, 3))
+            masks.append((alpha > 0.5).reshape(-1, 1))
+        self._img_shape = (h, w)
+        self._cameras = cameras
+        return {"rays": all_rays, "rgb": rgbs, "masks": masks}
 
     # -- dataset protocol ----------------------------------------------------------------------
     def __len__(self) -> int:

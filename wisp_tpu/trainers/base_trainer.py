@@ -307,13 +307,19 @@ class BaseTrainer(ABC):
         self.scene_state.optimization.iteration = self.iteration
 
     def train(self) -> Dict[str, Any]:
-        """Full training loop (reference base_trainer.py:361-374)."""
+        """Full training loop (reference base_trainer.py:361-374 wraps in emit_nvtx;
+        cfg.profile wraps in a jax.profiler trace — xplane dump for tensorboard)."""
         if self._step_fn is None:
             self._step_fn = self._build_step()
         self.is_optimization_running = True
-        # pre_training fires on first iterate()
-        while self.is_optimization_running:
-            self.iterate()
+        import contextlib
+        ctx = contextlib.nullcontext()
+        if getattr(self.cfg, "profile", False):
+            from wisp_tpu.utils.perf import profile_trace
+            ctx = profile_trace(os.path.join(self.tracker.log_dir, "profile"))
+        with ctx:
+            while self.is_optimization_running:
+                self.iterate()
         return self.return_dict
 
     # ---------------------------------------------------------------------------------------
