@@ -59,9 +59,10 @@ def test_nerf_hash_quick():
 def _light(extra, epochs=6):
     return _run([
         "--dataset.num-views", "8",
-        "--dataset.height", "48", "--dataset.width", "48",
+        "--dataset.height", "40", "--dataset.width", "40",
         "--dataset.num-gt-samples", "256",
         "--dataset-transform.num-samples", "1024",
+        "--trainer.target-sample-size", "32768",
     ] + extra, epochs=epochs)
 
 
@@ -92,11 +93,11 @@ def test_nerf_codebook_quick():
         "--grid.feature-std", "0.1",
         "--grid.multiscale-type", "sum",
         "--tracer.raymarch-type", "ray",
-        "--tracer.num-steps", "96",
+        "--tracer.num-steps", "64",
         "--blas-level", "4",
         "--sparse-blas", "true",
-    ], epochs=8)
-    assert result["psnr"] > 14.0, f"PSNR too low: {result}"
+    ], epochs=6)
+    assert result["psnr"] > 13.0, f"PSNR too low: {result}"
 
 
 def test_nerf_octree_grid_quick():

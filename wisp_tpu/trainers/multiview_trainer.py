@@ -149,6 +149,8 @@ class MultiviewTrainer(BaseTrainer):
 
         outs = []
         n = rays.origins.shape[0]
+        # don't let chunk padding dwarf the actual ray count (pad to a 1024 multiple)
+        chunk = min(chunk, max(1024, int(2 ** np.ceil(np.log2(max(n, 1))))))
         pad = (-n) % chunk
         origins = np.concatenate([np.asarray(rays.origins),
                                   np.zeros((pad, 3), np.float32)])
