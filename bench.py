@@ -41,9 +41,20 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 50))
     num_lods = int(os.environ.get("BENCH_LODS", 16))
     bitwidth = int(os.environ.get("BENCH_BITWIDTH", 19))
-    compaction = float(os.environ.get("BENCH_COMPACTION", 0.5))
+    compaction = float(os.environ.get("BENCH_COMPACTION", 0.25))
+    sparse = os.environ.get("BENCH_SPARSE", "1") == "1"
 
-    blas = OctreeAS.make_dense(7)
+    if sparse:
+        # steady-state training occupancy: sparse blas carved to the synthetic scene
+        # (the post-pruning regime the reference trains in most of the time)
+        from wisp_tpu.datasets.random_view_dataset import scene_density_color
+        rng0 = np.random.default_rng(3)
+        pts = rng0.uniform(-1.0, 1.0, (400000, 3)).astype(np.float32)
+        dens, _ = scene_density_color(jnp.asarray(pts))
+        pc = pts[np.asarray(dens[:, 0]) > 1.0]
+        blas = OctreeAS.from_pointcloud(pc, 7, dilate=1)
+    else:
+        blas = OctreeAS.make_dense(7)
     grid = HashGrid.from_geometric(blas=blas, feature_dim=2, num_lods=num_lods,
                                    multiscale_type="cat", feature_std=1e-9,
                                    codebook_bitwidth=bitwidth, min_grid_res=16,
