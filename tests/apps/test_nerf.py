@@ -115,3 +115,24 @@ def test_nerf_octree_grid_quick():
         "--sparse-blas", "true",
     ], epochs=8)
     assert result["psnr"] > 16.0, f"PSNR too low: {result}"
+
+
+def test_nerf_adaptive_compaction():
+    """Adaptive compaction keeps PSNR while shrinking the gather budget to the measured
+    valid fraction (the TPU twin of the reference's adaptive ray batching)."""
+    result = _light([
+        "--grid.constructor", "HashGrid.from-geometric",
+        "--grid.feature-std", "1e-9",
+        "--grid.num-lods", "6",
+        "--grid.codebook-bitwidth", "12",
+        "--grid.min-grid-res", "16",
+        "--grid.max-grid-res", "64",
+        "--grid.multiscale-type", "cat",
+        "--tracer.raymarch-type", "ray",
+        "--tracer.num-steps", "64",
+        "--tracer.compaction", "0.5",
+        "--trainer.adaptive-compaction", "true",
+        "--blas-level", "4",
+        "--sparse-blas", "true",
+    ], epochs=8)
+    assert result["psnr"] > 16.0, f"PSNR too low: {result}"

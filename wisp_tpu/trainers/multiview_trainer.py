@@ -45,6 +45,7 @@ class ConfigMultiviewTrainer(ConfigBaseTrainer):
     rgb_loss_denom: str = "rays"   # 'rays' | 'samples'
     target_sample_size: int = 2 ** 18
     save_valid_imgs: bool = False
+    adaptive_compaction: bool = False
 
 
 class MultiviewTrainer(BaseTrainer):
@@ -83,6 +84,24 @@ class MultiviewTrainer(BaseTrainer):
         num_rays = 2 ** int(math.floor(math.log2(max(num_rays, 256))))
         if isinstance(self.train_dataset.transform, SampleRays):
             self.train_dataset.transform.set_num_samples(num_rays)
+        if self.cfg.adaptive_compaction:
+            self.calc_adaptive_compaction(num_rays_in_batch)
+
+    def calc_adaptive_compaction(self, num_rays_in_batch: int):
+        """Retune the tracer's compaction budget to the measured valid-sample fraction
+        (po2-bucketed with 1.5x headroom → recompiles only on bucket changes). This is the
+        TPU twin of adaptive ray batching: gathers are the step cost, and their count is
+        budget-bound (CLAUDE.md cost model)."""
+        tracer = self.pipeline.tracer
+        if tracer is None or not hasattr(tracer, "compaction"):
+            return
+        total = max(num_rays_in_batch, 1) * tracer.num_steps
+        frac = self._prev_num_samples / total
+        budget = min(1.0, 2.0 ** math.ceil(math.log2(max(frac * 1.5, 1.0 / 512))))
+        if abs(budget - (tracer.compaction or 0.0)) > 1e-9:
+            pipeline = self.sync_pipeline()
+            self.refresh_pipeline(
+                pipeline.replace(tracer=tracer.replace(compaction=budget)))
 
     def compute_loss(self, pipeline, batch, key):
         rays, img_gts, step_idx = batch
