@@ -1,0 +1,98 @@
+"""Channel blend/normalize function tests + MetricsBoard + image metrics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wisp_tpu.core import channel_fn
+from wisp_tpu.ops.image.metrics import psnr, ssim
+from wisp_tpu.trainers.tracker.metrics import MetricsBoard
+
+
+class TestBlendFns:
+    def test_alpha_composite_over(self):
+        c1 = jnp.asarray([[1.0, 0.0, 0.0]])
+        c2 = jnp.asarray([[0.0, 0.0, 1.0]])
+        out = channel_fn.blend_alpha_composite_over(
+            c1, c2, jnp.asarray([[1.0]]), jnp.asarray([[1.0]]))
+        np.testing.assert_allclose(np.asarray(out), [[1.0, 0.0, 0.0]], atol=1e-6)
+        # half-transparent front blends
+        out = channel_fn.blend_alpha_composite_over(
+            c1, c2, jnp.asarray([[0.5]]), jnp.asarray([[1.0]]))
+        np.testing.assert_allclose(np.asarray(out), [[0.5, 0.0, 0.5]], atol=1e-6)
+
+    def test_normal_blend_front_wins(self):
+        out = channel_fn.blend_normal(jnp.asarray([1.0]), jnp.asarray([2.0]),
+                                      jnp.asarray([0.6]), jnp.asarray([1.0]))
+        assert float(out[0]) == 1.0
+
+    def test_multiply_screen_add_sub(self):
+        a, b = jnp.asarray([0.5]), jnp.asarray([0.4])
+        one = jnp.asarray([1.0])
+        assert float(channel_fn.blend_multiply(a, b, one, one)[0]) == pytest.approx(0.2)
+        assert float(channel_fn.blend_screen(a, b, one, one)[0]) == pytest.approx(0.7)
+        assert float(channel_fn.blend_add(a, b, one, one)[0]) == pytest.approx(0.9)
+        assert float(channel_fn.blend_sub(a, b, one, one)[0]) == pytest.approx(0.1)
+
+    def test_slerp_unit_output(self):
+        n1 = jnp.asarray([[1.0, 0.0, 0.0]])
+        n2 = jnp.asarray([[0.0, 1.0, 0.0]])
+        out = channel_fn.blend_alpha_slerp(n1, n2, jnp.asarray([[0.5]]),
+                                           jnp.asarray([[0.5]]))
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out)), 1.0, atol=1e-5)
+
+    def test_normalize_fns(self):
+        x = jnp.asarray([0.0, 5.0, 10.0])
+        np.testing.assert_allclose(np.asarray(channel_fn.normalize(x)),
+                                   [0.0, 0.5, 1.0], atol=1e-6)
+        v = jnp.asarray([[0.0, 3.0, 4.0]])
+        out = channel_fn.normalize_vector(v)
+        assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+class TestMetricsBoard:
+    def test_accumulation_and_average(self):
+        m = MetricsBoard()
+        m.define_metric("loss")
+        m.loss += 2.0
+        m.loss += 4.0
+        assert m.average_metric("loss") == pytest.approx(3.0)
+        averages = m.finalize_epoch()
+        assert averages["loss"] == pytest.approx(3.0)
+        assert m.average_metric("loss") == 0.0  # reset
+
+    def test_finalize_pushes_to_scene_state(self):
+        from wisp_tpu.framework.state import WispState
+        state = WispState()
+        m = MetricsBoard()
+        m.define_metric("loss")
+        m.loss += 1.0
+        m.finalize_epoch(state)
+        assert state.optimization.losses["loss"] == [1.0]
+
+
+class TestImageMetrics:
+    def test_psnr_identity_is_inf_like(self):
+        img = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+        assert psnr(img, img) > 80
+
+    def test_psnr_known_value(self):
+        a = np.zeros((8, 8, 3), np.float32)
+        b = np.full((8, 8, 3), 0.1, np.float32)
+        assert psnr(a, b) == pytest.approx(20.0, abs=0.01)
+
+    def test_ssim_bounds(self):
+        rng = np.random.default_rng(0)
+        img = rng.random((32, 32, 3)).astype(np.float32)
+        assert ssim(img, img) == pytest.approx(1.0, abs=1e-4)
+        noise = np.clip(img + rng.normal(0, 0.3, img.shape), 0, 1).astype(np.float32)
+        s = ssim(img, noise)
+        assert 0.0 <= s < 0.95
+
+
+class TestChecks:
+    def test_assert_all_finite(self):
+        from wisp_tpu.utils.checks import assert_all_finite
+        assert_all_finite({"a": jnp.ones(3)})
+        with pytest.raises(FloatingPointError):
+            assert_all_finite({"a": jnp.asarray([1.0, np.nan])})
