@@ -116,9 +116,11 @@ class HashGrid(BLASGrid):
             self.codebook.feats, self.codebook.begin_idxes, self.codebook.num_feats)
         if self.multiscale_type == "cat":
             feats = feats.reshape(*output_shape, feats.shape[-1])
-            mask = (np.arange(self.num_lods * self.feature_dim)
+            # lod_idx may be a traced scalar (random_lod training, reference
+            # multiview_trainer.py:127-132) — the column mask works either way
+            mask = (jnp.arange(self.num_lods * self.feature_dim)
                     < lod_idx * self.feature_dim)
-            return feats * jnp.asarray(mask, dtype=feats.dtype)
+            return feats * mask.astype(feats.dtype)
         elif self.multiscale_type == "sum":
             return feats.reshape(*output_shape, self.num_lods,
                                  self.feature_dim).sum(-2)

@@ -106,6 +106,12 @@ class MultiviewTrainer(BaseTrainer):
     def compute_loss(self, pipeline, batch, key):
         rays, img_gts, step_idx = batch
         lod_idx = None
+        if self.cfg.random_lod:
+            # geometric distribution over LODs favoring fine levels
+            # (reference multiview_trainer.py:127-132); traced so no per-step recompiles
+            num_lods = pipeline.nef.grid.num_lods
+            weights = jnp.asarray([2.0 ** i for i in range(num_lods)])
+            lod_idx = jax.random.choice(key, num_lods, p=weights / weights.sum())
         rb = pipeline(rays=rays, lod_idx=lod_idx, channels=["rgb", "alpha"], key=key)
 
         if self.cfg.rgb_loss_type == "l2":

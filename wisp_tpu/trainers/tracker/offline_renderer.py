@@ -36,7 +36,8 @@ class OfflineRenderer:
 
     # -- core render (reference offline_renderer.py:92-200) ------------------------------------
     def render(self, pipeline, rays: Rays, lod_idx: Optional[int] = None) -> RenderBuffer:
-        """Batched trace of a ray pack through the pipeline."""
+        """Batched trace of a ray pack through the pipeline, with optional shading
+        (reference offline_renderer.py:92-200 applies normal/matcap + shadow shaders)."""
         if self._infer is None:
             self._infer = jax.jit(
                 lambda p, r: p(rays=r), static_argnames=())
@@ -48,7 +49,31 @@ class OfflineRenderer:
                      jnp.asarray(np.asarray(rays.dirs)[i:i + chunk]),
                      rays.dist_min, rays.dist_max)
             outs.append(jax.device_get(self._infer(pipeline, r)))
-        return RenderBuffer.cat(outs) if len(outs) > 1 else outs[0]
+        rb = RenderBuffer.cat(outs) if len(outs) > 1 else outs[0]
+        return self.apply_shading(pipeline, rays, rb)
+
+    def apply_shading(self, pipeline, rays: Rays, rb: RenderBuffer) -> RenderBuffer:
+        """normal / matcap shading + point-light shadows on hit points
+        (reference offline_renderer.py shading modes)."""
+        normal = rb.channels.get("normal")
+        hit = rb.channels.get("hit")
+        if normal is None or hit is None:
+            return rb
+        rgb = rb.rgb
+        if self.shading_mode == "matcap" and self.matcap_path:
+            from wisp_tpu.ops.shaders import matcap_shader
+            dirs = jnp.asarray(np.asarray(rays.dirs))
+            shaded = matcap_shader(dirs, jnp.asarray(normal), self.matcap_path)
+            rgb = jnp.where(jnp.asarray(hit) > 0, shaded, jnp.asarray(rgb))
+        if self.shadow and "xyz" in rb.channels and pipeline.tracer is not None:
+            from wisp_tpu.ops.shaders import pointlight_shadow_shader
+            mult = pointlight_shadow_shader(
+                pipeline.nef, pipeline.tracer, jnp.asarray(rb.channels["xyz"]),
+                jnp.asarray(hit)[:, 0] > 0)
+            rgb = jnp.asarray(rgb) * mult
+        out = dict(rb.channels)
+        out["rgb"] = jnp.asarray(rgb)
+        return RenderBuffer(**out)
 
     def render_lookat(self, pipeline, f=(0.0, 0.0, -3.0), t=(0.0, 0.0, 0.0),
                       fov: float = 30.0, lod_idx=None,
