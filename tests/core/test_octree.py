@@ -180,3 +180,36 @@ class TestTotalVariation:
         feats = jnp.ones((dual[1].shape[0], 4))
         tv = total_variation(feats, jnp.asarray(trinkets[1]), 1)
         assert float(tv) == 0.0
+
+
+class TestOctreeGridContinuity:
+    def test_interpolation_continuous_across_cells(self):
+        """Trilinear octree-grid features must agree when approaching a shared cell face
+        from both sides (validates trinkets + dual indexing)."""
+        import jax
+        from wisp_tpu.models.grids import OctreeGrid
+        cells = np.asarray([[x, y, z] for x in range(4) for y in range(4)
+                            for z in range(4)], dtype=np.int32)
+        blas = OctreeAS.from_quantized_points(cells, 2)
+        grid = OctreeGrid(blas=blas, feature_dim=4, num_lods=1, feature_std=0.5,
+                          multiscale_type="sum", key=jax.random.PRNGKey(0))
+        eps = 1e-4
+        # face between cell x=0 and x=1 lies at world x = -0.5 (res 4)
+        left = jnp.asarray([[-0.5 - eps, -0.3, 0.2]])
+        right = jnp.asarray([[-0.5 + eps, -0.3, 0.2]])
+        fa = np.asarray(grid.interpolate(left, 0))
+        fb = np.asarray(grid.interpolate(right, 0))
+        np.testing.assert_allclose(fa, fb, atol=1e-3)
+
+    def test_multi_lod_interpolation_shapes(self):
+        import jax
+        from wisp_tpu.models.grids import OctreeGrid
+        cells = np.asarray([[x, y, z] for x in range(4) for y in range(4)
+                            for z in range(4)], dtype=np.int32)
+        blas = OctreeAS.from_quantized_points(cells, 2)
+        grid = OctreeGrid(blas=blas, feature_dim=4, num_lods=2, feature_std=0.1,
+                          multiscale_type="cat", key=jax.random.PRNGKey(0))
+        coords = jnp.asarray(np.random.default_rng(0).uniform(-0.9, 0.9, (32, 3)),
+                             jnp.float32)
+        out = grid.interpolate(coords, 1)
+        assert out.shape == (32, 8)  # 2 lods * feature_dim 4, 'cat'
