@@ -38,10 +38,10 @@ def main():
 
     num_rays = int(os.environ.get("BENCH_RAYS", 4096))
     num_steps = int(os.environ.get("BENCH_STEPS", 512))
-    iters = int(os.environ.get("BENCH_ITERS", 50))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
     num_lods = int(os.environ.get("BENCH_LODS", 16))
     bitwidth = int(os.environ.get("BENCH_BITWIDTH", 19))
-    compaction = float(os.environ.get("BENCH_COMPACTION", 0.25))
+    compaction = float(os.environ.get("BENCH_COMPACTION", 0.0625))
     sparse = os.environ.get("BENCH_SPARSE", "1") == "1"
 
     if sparse:

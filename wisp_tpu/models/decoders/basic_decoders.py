@@ -53,6 +53,7 @@ class BasicDecoder(Module):
                 layers.append(layer(hidden_dim, hidden_dim, bias=bias, key=keys[i]))
         self.layers = layers
         self.lout = layer(hidden_dim, output_dim, bias=bias, key=keys[-1])
+        self.compute_dtype = None  # set to jnp.bfloat16 for AMP (reference autocast parity)
 
     def __call__(self, x, return_h: bool = False):
         """[..., input_dim] -> [..., output_dim] (reference basic_decoders.py:73-103).
@@ -60,6 +61,9 @@ class BasicDecoder(Module):
         Note the reference's skip quirk: the skip concat happens *after* the skip layer runs on
         h alone, feeding [x, h] to the *next* layer — reproduced faithfully.
         """
+        in_dtype = x.dtype
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         h = x
         for i, l in enumerate(self.layers):
             if i == 0:
@@ -70,6 +74,9 @@ class BasicDecoder(Module):
             else:
                 h = self.activation(l(h))
         out = self.lout(h)
+        if self.compute_dtype is not None:
+            out = out.astype(in_dtype)
+            h = h.astype(in_dtype)
         if return_h:
             return out, h
         return out

@@ -44,6 +44,40 @@ from wisp_tpu.utils.filter import TreeSpec, is_inexact_array
 log = logging.getLogger(__name__)
 
 
+def _apply_amp_policy(pipeline):
+    """Set compute_dtype=bf16 on every BasicDecoder in the pipeline tree (host-side walk)."""
+    from wisp_tpu.models.decoders.basic_decoders import BasicDecoder
+
+    def _set_dtype(dec):
+        new = dec.replace()
+        new.__dict__["compute_dtype"] = jnp.bfloat16
+        return new
+
+    import jax.tree_util as jtu
+
+    def map_modules(o):
+        if isinstance(o, BasicDecoder):
+            return _set_dtype(o)
+        d = getattr(o, "__dict__", None)
+        if d is None or not hasattr(type(o), "replace"):
+            return o
+        updates = {}
+        for k, v in d.items():
+            if isinstance(v, BasicDecoder):
+                updates[k] = _set_dtype(v)
+            elif hasattr(type(v), "replace") and hasattr(v, "__dict__"):
+                nv = map_modules(v)
+                if nv is not v:
+                    updates[k] = nv
+            elif isinstance(v, list) and v and isinstance(v[0], BasicDecoder):
+                updates[k] = [_set_dtype(x) for x in v]
+        if updates:
+            return o.replace(**updates)
+        return o
+
+    return map_modules(pipeline)
+
+
 @dataclasses.dataclass
 class ConfigBaseTrainer:
     """Trainer config (reference base_trainer.py:24-87)."""
@@ -100,6 +134,12 @@ class BaseTrainer(ABC):
         self.return_dict: Dict[str, Any] = {}
         self._data_iter = None
         self.epoch_start_time = None
+
+        # AMP: bf16 decoder compute (fp32 params/grads; bf16 needs no loss scaling —
+        # reference wraps step in torch.cuda.amp.autocast + GradScaler, base_trainer.py:338)
+        if cfg.enable_amp:
+            self.pipeline = _apply_amp_policy(self.pipeline)
+            pipeline = self.pipeline
 
         # Scene graph registration happens even headless (reference base_trainer.py:195).
         self.scene_state.graph.neural_pipelines[cfg.exp_name] = pipeline
