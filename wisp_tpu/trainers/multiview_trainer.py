@@ -63,15 +63,24 @@ class MultiviewTrainer(BaseTrainer):
         self.tracker.metrics.define_metric("rgb_loss", aggregation_type=float)
 
     # -- pruning (reference :85-93) -----------------------------------------------------------
+    _prune_fn = None
+
     def pre_step(self):
         super().pre_step()
         if self.cfg.prune_every > -1 and self.total_iterations > 1 and \
                 self.total_iterations >= self.cfg.start_prune and \
                 self.total_iterations % self.cfg.prune_every == 0:
             pipeline = self.sync_pipeline()
-            new_nef = pipeline.nef.prune(key=self.next_key())
-            if new_nef is not pipeline.nef:
-                self.refresh_pipeline(pipeline.replace(nef=new_nef))
+            if getattr(pipeline.nef, "prune_density_decay", None) is None or \
+                    getattr(pipeline.nef.grid, "occupancy", None) is None:
+                return
+            if self._prune_fn is None:
+                # the whole prune step (density re-query over every dense cell + threshold +
+                # bitfield rewrite) is one jit — eager dispatch over the device tunnel costs
+                # seconds PER OP (CLAUDE.md), and prune touches millions of cells
+                self._prune_fn = jax.jit(lambda nef, key: nef.prune(key=key))
+            new_nef = self._prune_fn(pipeline.nef, self.next_key())
+            self.refresh_pipeline(pipeline.replace(nef=new_nef))
 
     # -- adaptive ray batching (reference :95-109) ---------------------------------------------
     def calc_adaptive_rays(self, num_rays_in_batch: int):
