@@ -166,12 +166,18 @@ class NeuralRadianceField(BaseNeuralField):
 
         occupancy = grid.occupancy * self.prune_density_decay
 
-        # Dense cell corners in row-major order (must match OctreeAS bitfield layout).
-        cell_ids = jnp.arange(num_cells)
-        cx = cell_ids // (res * res)
-        cy = (cell_ids // res) % res
-        cz = cell_ids % res
-        points = jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
+        # Tracked cells: every cell of the grid's initial occupancy domain — row-major for a
+        # dense blas, the sparse morton set otherwise (reference keeps the initial blas's
+        # dense_points, hash_grid.py:63-68).
+        if grid.blas.dense or grid.blas.points is None:
+            cell_ids = jnp.arange(num_cells)
+            cx = cell_ids // (res * res)
+            cy = (cell_ids // res) % res
+            cz = cell_ids % res
+            cell_coords = jnp.stack([cx, cy, cz], axis=-1)
+        else:
+            cell_coords = grid.blas.points[level]
+        points = cell_coords.astype(jnp.float32)
 
         k1, k2 = jax.random.split(key)
         samples = points + jax.random.uniform(k1, (num_cells, 3))
@@ -185,7 +191,11 @@ class NeuralRadianceField(BaseNeuralField):
         occupancy = jnp.maximum(density[:, 0], occupancy)
         mask = occupancy > self.prune_min_density
 
-        new_blas = grid.blas.update_occupancy(mask)
+        # rewrite the bitfield: tracked cells get their new state, everything else stays off
+        flat = (cell_coords[:, 0].astype(jnp.int32) * res
+                + cell_coords[:, 1]) * res + cell_coords[:, 2]
+        bitfield = jnp.zeros((res ** 3,), bool).at[flat].set(mask)
+        new_blas = grid.blas.update_occupancy(bitfield)
         new_grid = grid.replace(occupancy=occupancy, blas=new_blas)
         return self.replace(grid=new_grid)
 

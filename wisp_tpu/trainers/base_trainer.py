@@ -387,18 +387,20 @@ class BaseTrainer(ABC):
 
     def refresh_pipeline(self, pipeline):
         """Swap in a structurally-updated pipeline (e.g. after pruning). Parameter arrays and
-        optimizer state survive by path identity; the step function is rebuilt (one
-        recompilation — pruning keeps array shapes fixed precisely so this almost never
-        changes the compiled program signature after the first prune)."""
+        optimizer state survive by path identity; the compiled step function survives too
+        unless the tree *structure* changed (pruning rewrites the occupancy bitfield in
+        place precisely so shapes and treedefs stay fixed → zero recompilation)."""
         self.pipeline = pipeline
         old_diff = self._diff
+        old_treedef = self._spec.treedef
         self._spec = TreeSpec(pipeline)
         self._diff = dict(self._spec.diff)
         self._nondiff = dict(self._spec.nondiff)
         # Preserve optimizer state for paths that survived; paths are stable across prunes.
         if set(old_diff.keys()) != set(self._diff.keys()):
             self.opt_state = self.optimizer.init(self._diff)
-        self._step_fn = None
+        if self._spec.treedef != old_treedef:
+            self._step_fn = None  # structure changed → rebuild (one recompile)
 
     def sync_pipeline(self):
         """Re-assemble self.pipeline from the device-side diff partition (between epochs /
