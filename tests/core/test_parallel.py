@@ -1,0 +1,95 @@
+"""Data-parallel scale-out tests over the 8-virtual-device CPU mesh (SURVEY.md §2.4 — this
+capability is new vs the single-GPU reference)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wisp_tpu.parallel import make_mesh, shard_batch, replicate_tree, batch_sharding
+
+
+@pytest.fixture(scope="module")
+def trainer_and_batch():
+    from wisp_tpu.accelstructs import OctreeAS
+    from wisp_tpu.core import Rays
+    from wisp_tpu.models.grids import HashGrid
+    from wisp_tpu.models.nefs.nerf import NeuralRadianceField
+    from wisp_tpu.models.pipeline import Pipeline
+    from wisp_tpu.tracers import PackedRFTracer
+    from wisp_tpu.trainers.multiview_trainer import (ConfigMultiviewTrainer,
+                                                     MultiviewTrainer)
+    from wisp_tpu.trainers.tracker import ConfigTracker, Tracker
+
+    mesh = make_mesh(8)
+    grid = HashGrid.from_geometric(blas=OctreeAS.make_dense(3), feature_dim=2, num_lods=3,
+                                   codebook_bitwidth=8, min_grid_res=4, max_grid_res=16,
+                                   feature_std=0.01, key=jax.random.PRNGKey(0))
+    nef = NeuralRadianceField(grid=grid, view_embedder="positional", hidden_dim=16,
+                              bias=True, key=jax.random.PRNGKey(1))
+    pipe = Pipeline(nef, PackedRFTracer(raymarch_type="ray", num_steps=16))
+
+    class DS:
+        cameras = {}
+        transform = None
+
+        def __len__(self):
+            return 4
+
+    cfg = ConfigMultiviewTrainer(max_epochs=1, prune_every=-1, render_every=-1,
+                                 valid_every=-1, save_every=-1, exp_name="dp-test",
+                                 enable_amp=False)
+    tracker = Tracker(ConfigTracker(tensorboard=False, log_dir="/tmp/dp_test"), "dp")
+    trainer = MultiviewTrainer(cfg=cfg, pipeline=pipe, train_dataset=DS(),
+                               tracker=tracker, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    n = 256
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 1.5
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = Rays(jnp.asarray(np.broadcast_to([0, 0, -3.0], (n, 3)).astype(np.float32)),
+                jnp.asarray(dirs), 0.0, 8.0)
+    gts = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    batch = (rays, gts, jnp.asarray(0, jnp.int32))
+    return trainer, batch, mesh
+
+
+class TestDataParallel:
+    def test_mesh_and_placement(self, trainer_and_batch):
+        trainer, batch, mesh = trainer_and_batch
+        assert mesh.devices.size == 8
+        sharded = shard_batch(batch, mesh)
+        # ray origins split over 8 devices on axis 0
+        assert sharded[0].origins.sharding.is_fully_replicated is False
+        assert sharded[2].sharding.is_fully_replicated  # scalar replicated
+
+    def test_dp_step_matches_single_device(self, trainer_and_batch):
+        """Gradients all-reduce correctly: a sharded step must produce the same loss and
+        parameter update as the unsharded one."""
+        trainer, batch, mesh = trainer_and_batch
+        trainer._step_fn = trainer._build_step()
+
+        # single-device result
+        diff0 = {k: jnp.array(v) for k, v in trainer._diff.items()}
+        opt0 = jax.tree_util.tree_map(jnp.array, trainer.opt_state)
+        d1, o1, loss1, _ = trainer._step_fn(diff0, opt0, trainer._nondiff, batch,
+                                            jax.random.PRNGKey(42))
+
+        # sharded result (params replicated, batch split)
+        diff_r = replicate_tree({k: jnp.array(v) for k, v in trainer._diff.items()}, mesh)
+        opt_r = replicate_tree(jax.tree_util.tree_map(jnp.array, trainer.opt_state), mesh)
+        nd_r = replicate_tree(dict(trainer._nondiff), mesh)
+        b_r = shard_batch(batch, mesh)
+        d2, o2, loss2, _ = trainer._step_fn(diff_r, opt_r, nd_r, b_r,
+                                            jax.random.PRNGKey(42))
+
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+        for k in d1:
+            np.testing.assert_allclose(np.asarray(d1[k]), np.asarray(d2[k]),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_trainer_run_step_with_mesh(self, trainer_and_batch):
+        trainer, batch, mesh = trainer_and_batch
+        loss, aux = trainer.run_step(batch)
+        assert np.isfinite(float(loss))
