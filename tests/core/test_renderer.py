@@ -163,3 +163,34 @@ class TestOptimizationApp:
         assert counter["steps"] == 5
         import os
         assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+
+
+class TestGizmos:
+    def test_world_grid_and_axes_paint(self):
+        from wisp_tpu.renderer.gizmos.primitives_painter import (AxisPainter, WorldGrid,
+                                                                 PrimitivesPainter)
+        from wisp_tpu.core import Camera, PrimitivesPack
+        cam = Camera.from_args(eye=(2.0, 2.0, -3.0), at=(0, 0, 0), width=64, height=64,
+                               fov=np.radians(40.0))
+        frame = np.zeros((64, 64, 3), np.float32)
+        out = WorldGrid().paint(frame, cam)
+        assert out.sum() > 0 and frame.sum() == 0  # painted copy, source untouched
+        out2 = AxisPainter().paint(out, cam)
+        assert out2.sum() > out.sum()
+
+    def test_gizmos_in_app_render(self, tmp_path):
+        from wisp_tpu.framework.state import WispState
+        from wisp_tpu.renderer import WispApp, DiskPresenter
+        from wisp_tpu.renderer.gizmos.primitives_painter import AxisPainter
+        state = WispState()
+        state.renderer.canvas_width = 32
+        state.renderer.canvas_height = 32
+
+        class App(WispApp):
+            def create_gizmos(self):
+                self.gizmos["axes"] = AxisPainter()
+
+        app = App(state, presenter=DiskPresenter(str(tmp_path)))
+        frame = app.render()
+        assert frame.shape == (32, 32, 3)
+        assert frame.sum() > 0  # axes visible over the empty clear color

@@ -64,6 +64,7 @@ class WispApp:
         self._background_tasks: List[Callable] = []
         self._frame_idx = 0
         self._last_render_time = 0.0
+        self.gizmos = {}  # name -> painter with .paint(frame, camera)
         self.register_event_handlers()
         self.create_widgets()
         self.create_gizmos()
@@ -115,6 +116,11 @@ class WispApp:
         self.render_core.redraw()
         rb = self.render_core.render(time_delta=t0 - self._last_render_time)
         frame = self.render_core.map_output_channels_to_rgba(rb)
+        # gizmo overlays painted after the canvas (reference wisp_app.py:483-538 draws
+        # gizmos after the CUDA-GL blit)
+        camera = self.render_core.camera.resize(frame.shape[1], frame.shape[0])
+        for gizmo in self.gizmos.values():
+            frame = gizmo.paint(frame, camera)
         dt = time.time() - t0
         self.wisp_state.renderer.dt = dt
         self.wisp_state.renderer.fps = 1.0 / max(dt, 1e-6)
