@@ -213,3 +213,40 @@ class TestOctreeGridContinuity:
                              jnp.float32)
         out = grid.interpolate(coords, 1)
         assert out.shape == (32, 8)  # 2 lods * feature_dim 4, 'cat'
+
+
+class TestBitfieldOnlyTopology:
+    """A pruned make_dense blas keeps no level tables; query/raytrace must fall back to the
+    occupancy bitfield (this is the NeRF pruning regime)."""
+
+    def _pruned_dense(self):
+        blas = OctreeAS.make_dense(2)
+        res = 4
+        occ = np.zeros(res ** 3, dtype=bool)
+        # occupy cell (0,0,0) only (row-major flat index 0)
+        occ[0] = True
+        return blas.update_occupancy(jnp.asarray(occ))
+
+    def test_query(self):
+        blas = self._pruned_dense()
+        res = blas.query(jnp.asarray([[-0.9, -0.9, -0.9], [0.5, 0.5, 0.5]]))
+        assert int(res.pidx[0]) == 0       # morton code of cell (0,0,0)
+        assert int(res.pidx[1]) == -1
+
+    def test_raytrace(self):
+        blas = self._pruned_dense()
+        rays = Rays(origins=jnp.asarray([[-2.0, -0.8, -0.8], [-2.0, 0.5, 0.5]]),
+                    dirs=jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]]),
+                    dist_min=0.0, dist_max=10.0)
+        out = blas.raytrace(rays, capacity=8)
+        assert np.asarray(out.mask[0]).sum() == 1   # hits the one occupied cell
+        assert np.asarray(out.mask[1]).sum() == 0
+
+    def test_raymarch(self):
+        blas = self._pruned_dense()
+        rays = Rays(origins=jnp.asarray([[-3.0, -0.8, -0.8]]),
+                    dirs=jnp.asarray([[1.0, 0.0, 0.0]]), dist_min=0.0, dist_max=10.0)
+        out = blas.raymarch(rays, raymarch_type="ray", num_samples=64)
+        m = np.asarray(out.mask[0])
+        xs = np.asarray(out.samples[0, :, 0])
+        assert m.sum() > 0 and np.all(xs[m] < -0.5)  # only inside cell (0,0,0)

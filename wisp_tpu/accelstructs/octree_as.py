@@ -144,6 +144,14 @@ class OctreeAS(Module, BaseAS):
             c = (code >> jnp.uint32(3 * (level - l))).astype(jnp.uint32)
             if self.dense:
                 pidx = c.astype(jnp.int32)
+            elif self.codes is None:
+                # bitfield-only topology (a pruned make_dense blas): occupancy known at
+                # max_level; cell ids stay the implicit morton codes
+                assert l == self.max_level == level,                     "bitfield-only octree supports max_level queries only"
+                res_l = 2 ** l
+                qq = quantize_points_jnp(coords, l)
+                flat = (qq[..., 0] * res_l + qq[..., 1]) * res_l + qq[..., 2]
+                pidx = jnp.where(self.occ_grid[flat], c.astype(jnp.int32), -1)
             else:
                 table = self.codes[l]
                 i = jnp.searchsorted(table, c)
@@ -205,6 +213,12 @@ class OctreeAS(Module, BaseAS):
             inb = jnp.all((iv >= 0) & (iv < res))
             if self.dense:
                 return inb, morton3d(iv).astype(jnp.int32)
+            if self.codes is None:
+                # bitfield-only topology: DDA at max_level against the occupancy grid
+                ivc = jnp.clip(iv, 0, res - 1)
+                flat = (ivc[0] * res + ivc[1]) * res + ivc[2]
+                found = jnp.logical_and(inb, self.occ_grid[flat])
+                return found, jnp.where(found, morton3d(iv).astype(jnp.int32), -1)
             code = morton3d(iv)
             table = self.codes[level]
             i = jnp.searchsorted(table, code)
