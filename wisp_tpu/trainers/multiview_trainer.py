@@ -98,16 +98,20 @@ class MultiviewTrainer(BaseTrainer):
 
     def calc_adaptive_compaction(self, num_rays_in_batch: int):
         """Retune the tracer's compaction budget to the measured valid-sample fraction
-        (po2-bucketed with 1.5x headroom → recompiles only on bucket changes). This is the
-        TPU twin of adaptive ray batching: gathers are the step cost, and their count is
-        budget-bound (CLAUDE.md cost model)."""
+        (po2-bucketed with 1.5x headroom). Hysteresis: grow immediately (truncation hurts
+        quality) but shrink only past a full extra bucket, so oscillation around a bucket
+        edge can't recompile every step. This is the TPU twin of adaptive ray batching:
+        gathers are the step cost and their count is budget-bound (CLAUDE.md cost model)."""
         tracer = self.pipeline.tracer
         if tracer is None or not hasattr(tracer, "compaction"):
             return
+        current = tracer.compaction or 0.0
         total = max(num_rays_in_batch, 1) * tracer.num_steps
         frac = self._prev_num_samples / total
         budget = min(1.0, 2.0 ** math.ceil(math.log2(max(frac * 1.5, 1.0 / 512))))
-        if abs(budget - (tracer.compaction or 0.0)) > 1e-9:
+        if budget > current + 1e-9 or budget < current / 2 - 1e-9:
+            log.info(f"adaptive compaction: budget {current:.4f} -> {budget:.4f} "
+                     f"(valid fraction {frac:.4f})")
             pipeline = self.sync_pipeline()
             self.refresh_pipeline(
                 pipeline.replace(tracer=tracer.replace(compaction=budget)))
