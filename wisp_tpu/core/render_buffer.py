@@ -60,7 +60,11 @@ class RenderBuffer:
         keys = set(buffers[0].channels.keys())
         for b in buffers[1:]:
             keys &= set(b.channels.keys())
-        out = {k: jnp.concatenate([b.channels[k] for b in buffers], axis=axis) for k in keys}
+        out = {}
+        for k in keys:
+            vals = [b.channels[k] for b in buffers]
+            # scalar channels (e.g. sample counters) aggregate by sum rather than concat
+            out[k] = sum(vals) if vals[0].ndim == 0 else jnp.concatenate(vals, axis=axis)
         return cls(**out)
 
     def blend(self, other: "RenderBuffer",
@@ -112,12 +116,18 @@ class RenderBuffer:
     def reshape(self, *dims) -> "RenderBuffer":
         if len(dims) == 1 and isinstance(dims[0], (tuple, list)):
             dims = tuple(dims[0])
-        return self._map(lambda v: v.reshape(*dims[:-1], v.shape[-1]) if dims[-1] == -1
-                         else v.reshape(*dims))
+
+        def _reshape(v):
+            if v.ndim == 0:
+                return v  # scalar channels are layout-free
+            if dims[-1] == -1:
+                return v.reshape(*dims[:-1], v.shape[-1])
+            return v.reshape(*dims)
+        return self._map(_reshape)
 
     def transpose(self) -> "RenderBuffer":
         """Swap the leading two (H, W) dims."""
-        return self._map(lambda v: jnp.swapaxes(v, 0, 1))
+        return self._map(lambda v: v if v.ndim < 2 else jnp.swapaxes(v, 0, 1))
 
     def scale(self, size, method: str = "bilinear") -> "RenderBuffer":
         """Resize H, W to ``size`` (reference uses F.interpolate; here jax.image.resize)."""
@@ -127,7 +137,7 @@ class RenderBuffer:
         return self._map(_resize)
 
     def __getitem__(self, idx) -> "RenderBuffer":
-        return self._map(lambda v: v[idx])
+        return self._map(lambda v: v if v.ndim == 0 else v[idx])
 
     def astype(self, dtype) -> "RenderBuffer":
         return self._map(lambda v: v.astype(dtype))
