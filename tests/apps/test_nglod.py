@@ -96,3 +96,67 @@ def test_sdf_sphere_tracer_renders():
     # normals at hit points point outward (towards -z for front hits)
     normal = np.asarray(rb.normal)[center]
     assert normal[2] < -0.9
+
+
+def test_neural_sdf_tex_trains_rgb_and_sdf():
+    """NeuralSDFTex (4-channel sdf+rgb decoder, reference neural_sdf_tex.py:20-123) trains
+    both losses through SDFTrainer's sample_tex path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wisp_tpu.accelstructs import OctreeAS, MeshExtent
+    from wisp_tpu.models.grids import OctreeGrid
+    from wisp_tpu.models.nefs.neural_sdf import NeuralSDFTex
+    from wisp_tpu.models.pipeline import Pipeline
+    from wisp_tpu.ops.mesh import make_sphere_mesh, normalize, sample_surface, compute_sdf
+    from wisp_tpu.ops.spc.core import quantize_points
+    from wisp_tpu.trainers.sdf_trainer import ConfigSDFTrainer, SDFTrainer
+    from wisp_tpu.trainers.tracker import ConfigTracker, Tracker
+
+    v, f = make_sphere_mesh(radius=1.0, subdivisions=2)
+    v, f = normalize(v, f, "sphere")
+    surf = sample_surface(v, f, 100000)
+    blas = OctreeAS.from_quantized_points(quantize_points(surf, 4), 4)
+    blas.extent = MeshExtent(v, f)
+    grid = OctreeGrid(blas=blas, feature_dim=16, num_lods=2, feature_std=0.01,
+                      multiscale_type="sum", key=jax.random.PRNGKey(0))
+    nef = NeuralSDFTex(grid=grid, hidden_dim=64, position_input=True,
+                       key=jax.random.PRNGKey(1))
+
+    # dataset with rgb supervision: position-derived colors
+    rng = np.random.default_rng(0)
+    pts = (surf[:20000] + rng.normal(0, 0.01, (20000, 3))).astype(np.float32)
+    sdf = compute_sdf(v, f, pts)[:, None]
+    rgb = ((pts + 1) / 2).astype(np.float32)
+
+    class DS:
+        sample_tex = True
+        coordinates = pts
+        sdf_data = sdf
+
+        def __len__(self):
+            return len(pts)
+
+        def __getitem__(self, idx):
+            from wisp_tpu.datasets.batch import SDFBatch
+            return SDFBatch(coords=pts[idx], sdf=sdf[idx], rgb=rgb[idx])
+
+    cfg = ConfigSDFTrainer(max_epochs=30, batch_size=4096, render_every=-1, save_every=-1,
+                           valid_every=-1, exp_name="sdftex",
+                           optimizer=__import__("wisp_tpu.config.presets",
+                                                fromlist=["ConfigAdam"]).ConfigAdam(
+                               lr=1e-3, eps=1e-15))
+    tracker = Tracker(ConfigTracker(tensorboard=False, log_dir="/tmp/sdftex"), "sdftex")
+    trainer = SDFTrainer(cfg=cfg, pipeline=Pipeline(nef=nef), train_dataset=DS(),
+                         tracker=tracker)
+    trainer.train()
+
+    # both heads learned: sdf usable + rgb matches position-colors at surface points
+    import jax.numpy as jnp
+    pipeline = trainer.sync_pipeline()
+    out = jax.jit(lambda p, c: p.nef(channels=["rgb", "sdf"], coords=c))(
+        pipeline, jnp.asarray(pts[:2000]))
+    rgb_err = float(jnp.mean(jnp.abs(out["rgb"] - jnp.asarray(rgb[:2000]))))
+    sdf_err = float(jnp.mean(jnp.abs(out["sdf"] - jnp.asarray(sdf[:2000]))))
+    assert rgb_err < 0.12, rgb_err
+    assert sdf_err < 0.01, sdf_err
