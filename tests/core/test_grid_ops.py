@@ -171,3 +171,24 @@ class TestLayoutOptimizedVsNaive:
         g_naive = jax.grad(lambda cb: jnp.sum(
             grid_ops.hashgrid_naive(coords, resolutions, bw, 1, cb, sizes, first) ** 2))(codebook)
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_naive), atol=1e-4)
+
+
+class TestFreeze:
+    def test_frozen_grid_gets_zero_gradients(self, rng):
+        import jax
+        from wisp_tpu.models.grids import HashGrid
+        grid = HashGrid.from_geometric(feature_dim=2, num_lods=2, codebook_bitwidth=8,
+                                       min_grid_res=4, max_grid_res=8, feature_std=0.1,
+                                       key=jax.random.PRNGKey(0))
+        coords = jnp.asarray(rng.random((16, 3)) * 2 - 1, jnp.float32)
+
+        def loss(g):
+            return jnp.sum(g.interpolate(coords, 1) ** 2)
+
+        g_live = jax.grad(lambda feats: loss(grid.replace(
+            codebook=grid.codebook.replace(feats=feats))))(grid.codebook.feats)
+        frozen = grid.freeze()
+        g_frozen = jax.grad(lambda feats: loss(frozen.replace(
+            codebook=frozen.codebook.replace(feats=feats))))(frozen.codebook.feats)
+        assert float(jnp.abs(g_live).sum()) > 0
+        assert float(jnp.abs(g_frozen).sum()) == 0

@@ -46,6 +46,7 @@ class HashGrid(BLASGrid):
         self.codebook_size = 2 ** codebook_bitwidth
         self.coord_dim = coord_dim
 
+        self.frozen = False
         self.resolutions = tuple(int(r) for r in resolutions)
         self.num_lods = len(self.resolutions)
         self.active_lods = tuple(range(self.num_lods))
@@ -106,14 +107,22 @@ class HashGrid(BLASGrid):
                    feature_bias=feature_bias, codebook_bitwidth=codebook_bitwidth,
                    coord_dim=coord_dim, key=key)
 
+    def freeze(self) -> "HashGrid":
+        """Feature grid stops receiving gradients (reference hash_grid.py:195-198
+        requires_grad_(False); functional form: stop_gradient in interpolate)."""
+        return self.replace(frozen=True)
+
     # -- feature lookup (reference hash_grid.py:205-233) --------------------------------------
     def interpolate(self, coords, lod_idx):
         output_shape = coords.shape[:-1]
         flat = coords.reshape(-1, coords.shape[-1])
+        table = self.codebook.feats
+        if self.frozen:
+            table = jnp.asarray(jax.lax.stop_gradient(table))
         feats = grid_ops.hashgrid(
             flat, self.codebook.resolutions, self.codebook_bitwidth,
             self.num_lods - 1,  # kernel computes all LODs (reference quirk)
-            self.codebook.feats, self.codebook.begin_idxes, self.codebook.num_feats)
+            table, self.codebook.begin_idxes, self.codebook.num_feats)
         if self.multiscale_type == "cat":
             feats = feats.reshape(*output_shape, feats.shape[-1])
             # lod_idx may be a traced scalar (random_lod training, reference

@@ -50,6 +50,7 @@ class OctreeGrid(BLASGrid):
         self.feature_std = feature_std
         self.feature_bias = feature_bias
         self.active_lods = tuple(self.base_lod + x for x in range(num_lods))
+        self.frozen = False
         self.occupancy = None  # octree grids don't prune (reference prunes hash/triplanar only)
 
         if key is None:
@@ -77,9 +78,15 @@ class OctreeGrid(BLASGrid):
             for k, n in zip(keys, counts)
         ]
 
+    def freeze(self) -> "OctreeGrid":
+        """Stop feature gradients (reference octree_grid.py:109 freeze)."""
+        return self.replace(frozen=True)
+
     # -- feature indexing hook (overridden by CodebookOctreeGrid) ------------------------------
     def _index_features(self, feats, idx, lod_idx):
         """[...,] indices -> [..., feature_dim] features (reference octree_grid.py:120-134)."""
+        if self.frozen:
+            feats = jax.lax.stop_gradient(feats)
         return feats[idx]
 
     def _interpolate(self, coords, feats, pidx, lod_idx):

@@ -100,6 +100,7 @@ class TriplanarGrid(BLASGrid):
         self.feature_std = feature_std
         self.feature_bias = feature_bias
         self.active_lods = tuple(log_base_resolution + x for x in range(num_lods))
+        self.frozen = False
         self.occupancy = None
 
         if key is None:
@@ -112,11 +113,17 @@ class TriplanarGrid(BLASGrid):
         self.num_feat = sum(((2 ** lod + 1) ** 2) * self.feature_dim
                             for lod in self.active_lods)
 
+    def freeze(self) -> "TriplanarGrid":
+        """Stop feature gradients (reference triplanar_grid.py freeze)."""
+        return self.replace(frozen=True)
+
     def interpolate(self, coords, lod_idx):
         """Multiscale triplane query (reference triplanar_grid.py:100-122)."""
         output_shape = coords.shape[:-1]
         flat = coords.reshape(-1, 3)
         feats = [self.features[i](flat) for i in range(lod_idx + 1)]
+        if self.frozen:
+            feats = [jax.lax.stop_gradient(f) for f in feats]
         feats = jnp.concatenate(feats, axis=-1)
         if self.multiscale_type == "sum":
             feats = feats.reshape(-1, lod_idx + 1, self.feature_dim).sum(-2)
