@@ -23,6 +23,7 @@ from wisp_tpu.models.nefs.nerf import NeuralRadianceField
 from wisp_tpu.models.pipeline import Pipeline
 from wisp_tpu.tracers.packed_rf_tracer import PackedRFTracer
 from wisp_tpu.datasets.formats.nerf_standard import NeRFSyntheticDataset
+from wisp_tpu.datasets.formats.rtmv import RTMVDataset
 from wisp_tpu.datasets.random_view_dataset import RandomViewDataset
 from wisp_tpu.datasets.transforms.ray_sampler import SampleRays
 from wisp_tpu.trainers import load_pipeline
@@ -48,7 +49,7 @@ class NeRFAppConfig:
     nef: autoconfig(NeuralRadianceField) = None
     grid: None = None  # filled below (needs lazy import of the full grid zoo)
     tracer: autoconfig(PackedRFTracer) = None
-    dataset: autoconfig(NeRFSyntheticDataset, RandomViewDataset) = None
+    dataset: autoconfig(NeRFSyntheticDataset, RTMVDataset, RandomViewDataset) = None
     dataset_transform: autoconfig(SampleRays) = None
     trainer: ConfigMultiviewTrainer = None
     tracker: ConfigTracker = None

@@ -3,9 +3,10 @@
 Counterpart of reference wisp/datasets/formats/rtmv_dataset.py:31-579: per-frame
 .exr (rgb+depth) + .json (camera) pairs, split by train/val ratios over the frame list,
 sRGB handling, depth → pointcloud for acceleration-structure pre-pruning (``as_pointcloud``,
-``supports_depth``). EXR decoding runs through imageio (pyexr unavailable); frames whose EXR
-can't be decoded are skipped with a warning (the reference gates pyexr the same way,
-multiview_trainer.py:232-240).
+``supports_depth``). EXR decoding runs through the self-contained reader in
+wisp_tpu.ops.image.exr (no pyexr/imageio EXR backend exists here); frames whose EXR can't be
+decoded (e.g. compressed variants) are skipped with a warning (the reference gates pyexr the
+same way, multiview_trainer.py:232-240).
 """
 
 from __future__ import annotations
@@ -47,6 +48,14 @@ class RTMVDataset(MultiviewDataset):
                        for f in files_list)
         return has_exr and has_json
 
+    def create_split(self, split: str, transform: Optional[Callable] = None) -> "RTMVDataset":
+        """Same root, different frame-ratio split (reference rtmv_dataset.py:217-233)."""
+        return RTMVDataset(dataset_path=self.dataset_path, split=split, mip=self.mip,
+                           bg_color=self.bg_color,
+                           dataset_num_workers=self.dataset_num_workers,
+                           transform=transform, train_ratio=self.train_ratio,
+                           val_ratio=self.val_ratio)
+
     def _split_frames(self, frames: List[str]) -> List[str]:
         """train/val/test split by ratio over the sorted frame list
         (reference rtmv_dataset.py:192-215)."""
@@ -74,9 +83,11 @@ class RTMVDataset(MultiviewDataset):
             if not os.path.exists(exr_path):
                 continue
             try:
-                import imageio.v3 as iio
-                img = np.asarray(iio.imread(exr_path))
-            except Exception as e:  # noqa: BLE001 - plugin-dependent
+                from wisp_tpu.ops.image.exr import read_exr_rgbd
+                rgb_lin, depth_img = read_exr_rgbd(exr_path)
+                img = np.concatenate([rgb_lin, depth_img], -1) if depth_img is not None \
+                    else rgb_lin
+            except Exception as e:  # noqa: BLE001 - e.g. compressed EXRs
                 log.warning(f"cannot decode {exr_path} ({e}); frame skipped")
                 continue
             with open(meta_path) as fh:

@@ -98,7 +98,14 @@ def look_at(eye, at, up=(0.0, 1.0, 0.0)) -> np.ndarray:
     forward = at - eye
     forward = forward / np.linalg.norm(forward)
     right = np.cross(forward, up)
-    right = right / np.linalg.norm(right)
+    norm = np.linalg.norm(right)
+    if norm < 1e-6:  # eye-at axis parallel to up (e.g. top-down view): pick another up
+        right = np.cross(forward, np.array([0.0, 0.0, 1.0], np.float32))
+        norm = np.linalg.norm(right)
+        if norm < 1e-6:
+            right = np.cross(forward, np.array([1.0, 0.0, 0.0], np.float32))
+            norm = np.linalg.norm(right)
+    right = right / norm
     true_up = np.cross(right, forward)
     view = np.eye(4, dtype=np.float32)
     view[0, :3] = right

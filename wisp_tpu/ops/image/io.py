@@ -23,18 +23,23 @@ def write_png(path: str, img) -> None:
 
 
 def write_exr(path: str, data: Dict[str, np.ndarray]) -> None:
-    """Write a multi-channel EXR (reference io.py:18-42 via pyexr). Uses imageio's EXR
-    support when present; falls back to .npz with a warning otherwise."""
-    try:
-        import imageio.v3 as iio
-        rgb = data.get("rgb")
-        if rgb is None:
-            rgb = next(iter(data.values()))
-        iio.imwrite(path, np.asarray(rgb, dtype=np.float32), extension=".exr")
-    except Exception as e:  # noqa: BLE001 - any plugin failure falls back
-        alt = path + ".npz"
-        np.savez(alt, **{k: np.asarray(v) for k, v in data.items()})
-        log.warning(f"EXR writer unavailable ({e}); wrote {alt} instead")
+    """Write a multi-channel EXR (reference io.py:18-42 via pyexr; here the self-contained
+    writer in wisp_tpu.ops.image.exr — no EXR backend exists in this environment).
+    Multi-channel entries split into suffixed planes (rgb → R/G/B)."""
+    from wisp_tpu.ops.image.exr import write_exr as _write
+    planes: Dict[str, np.ndarray] = {}
+    for key, value in data.items():
+        arr = np.asarray(value, dtype=np.float32)
+        if arr.ndim == 3 and arr.shape[-1] in (3, 4):
+            names = ("R", "G", "B", "A")
+            prefix = "" if key == "rgb" else key + "."
+            for c in range(arr.shape[-1]):
+                planes[prefix + names[c]] = arr[..., c]
+        elif arr.ndim == 3 and arr.shape[-1] == 1:
+            planes["Z" if key == "depth" else key] = arr[..., 0]
+        else:
+            planes[key] = arr
+    _write(path, planes)
 
 
 def load_rgb(path: str, normalize: bool = True) -> np.ndarray:
