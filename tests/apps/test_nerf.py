@@ -117,6 +117,41 @@ def test_nerf_octree_grid_quick():
     assert result["psnr"] > 16.0, f"PSNR too low: {result}"
 
 
+def test_nerf_voxel_marching_quick():
+    """'voxel' raymarching (per-intersected-voxel samples from the DDA traversal) trains —
+    the reference's default marching mode (raymarch_type voxel, octree_as.py raymarch)."""
+    result = _light([
+        "--grid.constructor", "HashGrid.from-octree",
+        "--grid.feature-std", "1e-9",
+        "--grid.num-lods", "4",
+        "--grid.codebook-bitwidth", "10",
+        "--grid.multiscale-type", "cat",
+        "--tracer.raymarch-type", "voxel",
+        "--tracer.num-steps", "4",
+        "--blas-level", "4",
+        "--sparse-blas", "true",
+    ], epochs=8)
+    assert result["psnr"] > 14.0, f"PSNR too low: {result}"
+
+
+def test_nerf_uniform_marching_smoke():
+    """'uniform' raymarching (fixed world-space step) completes a training epoch."""
+    result = _light([
+        "--grid.constructor", "HashGrid.from-geometric",
+        "--grid.feature-std", "1e-9",
+        "--grid.num-lods", "4",
+        "--grid.codebook-bitwidth", "10",
+        "--grid.min-grid-res", "16",
+        "--grid.max-grid-res", "64",
+        "--grid.multiscale-type", "cat",
+        "--tracer.raymarch-type", "uniform",
+        "--tracer.num-steps", "64",
+        "--blas-level", "4",
+    ], epochs=3)
+    import math
+    assert math.isfinite(result["psnr"]), f"diverged: {result}"
+
+
 def test_nerf_adaptive_compaction():
     """Adaptive compaction keeps PSNR while shrinking the gather budget to the measured
     valid fraction (the TPU twin of the reference's adaptive ray batching)."""
