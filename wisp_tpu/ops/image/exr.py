@@ -49,8 +49,8 @@ def write_exr(path: str, channels: Dict[str, np.ndarray], half: bool = False) ->
     h, w = first.shape[:2]
     dtype = np.float16 if half else np.float32
     pixel_type = _PIXEL_HALF if half else _PIXEL_FLOAT
-    planes = {n: np.ascontiguousarray(np.asarray(channels[n], dtype=np.float32)
-                                      .reshape(h, w).astype(dtype)) for n in names}
+    planes = {n: np.ascontiguousarray(np.asarray(channels[n]).reshape(h, w), dtype=dtype)
+              for n in names}
 
     header = b""
     header += _attr("channels", "chlist", _chlist(names, pixel_type))
@@ -72,14 +72,19 @@ def write_exr(path: str, channels: Dict[str, np.ndarray], half: bool = False) ->
     table_start = len(preamble)
     data_start = table_start + 8 * h
 
+    # vectorized block assembly: per scanline [y:i4][size:i4][ch0 row][ch1 row]...
+    offsets = data_start + np.arange(h, dtype=np.uint64) * block_size
+    blocks = np.empty((h, block_size), np.uint8)
+    blocks[:, 0:4] = np.arange(h, dtype="<i4")[:, None].view(np.uint8)
+    blocks[:, 4:8] = np.full((h, 1), line_data_size, "<i4").view(np.uint8)
+    row_bytes = w * bytes_per_px
+    for ci, n in enumerate(names):
+        start = 8 + ci * row_bytes
+        blocks[:, start:start + row_bytes] = planes[n].view(np.uint8).reshape(h, row_bytes)
     with open(path, "wb") as fh:
         fh.write(preamble)
-        for y in range(h):  # scanline offset table
-            fh.write(struct.pack("<Q", data_start + y * block_size))
-        for y in range(h):
-            fh.write(struct.pack("<ii", y, line_data_size))
-            for n in names:
-                fh.write(planes[n][y].tobytes())
+        fh.write(offsets.astype("<u8").tobytes())
+        fh.write(blocks.tobytes())
 
 
 def read_exr(path: str) -> Dict[str, np.ndarray]:
@@ -130,22 +135,30 @@ def read_exr(path: str) -> Dict[str, np.ndarray]:
     x0, y0, x1, y1 = data_window
     w, h = x1 - x0 + 1, y1 - y0 + 1
 
-    pos += 8 * h  # skip scanline offset table
-    out = {n: np.empty((h, w), np.float32) for n, _ in channels}
-    for _ in range(h):
-        y, size = struct.unpack_from("<ii", buf, pos)
-        pos += 8
-        for cname, ptype in channels:  # channels stored alphabetically per scanline
-            if ptype == _PIXEL_HALF:
-                row = np.frombuffer(buf, np.float16, w, pos).astype(np.float32)
-                pos += 2 * w
-            elif ptype == _PIXEL_FLOAT:
-                row = np.frombuffer(buf, np.float32, w, pos)
-                pos += 4 * w
-            else:  # uint32
-                row = np.frombuffer(buf, np.uint32, w, pos).astype(np.float32)
-                pos += 4 * w
-            out[cname][y - y0] = row
+    # scanline blocks are fixed-size for NONE compression: vectorize via the offset table
+    offsets = np.frombuffer(buf, "<u8", h, pos).astype(np.int64)
+    ch_bytes = [2 * w if p == _PIXEL_HALF else 4 * w for _, p in channels]
+    block_size = 8 + sum(ch_bytes)
+    raw = np.frombuffer(buf, np.uint8)
+    if np.all(np.diff(offsets) == block_size):  # contiguous increasing-y fast path
+        blocks = raw[offsets[0]:offsets[0] + h * block_size].reshape(h, block_size)
+    else:  # arbitrary lineOrder / sparse layout
+        blocks = raw[offsets[:, None] + np.arange(block_size)]
+    ys = blocks[:, 0:4].copy().view("<i4")[:, 0] - y0
+    out = {}
+    cpos = 8
+    for (cname, ptype), nb in zip(channels, ch_bytes):  # channels alphabetical per scanline
+        rows = blocks[:, cpos:cpos + nb].copy()
+        cpos += nb
+        if ptype == _PIXEL_HALF:
+            plane = rows.view("<f2").astype(np.float32)
+        elif ptype == _PIXEL_FLOAT:
+            plane = rows.view("<f4")
+        else:  # uint32
+            plane = rows.view("<u4").astype(np.float32)
+        ordered = np.empty((h, w), np.float32)
+        ordered[ys] = plane
+        out[cname] = ordered
     return out
 
 
