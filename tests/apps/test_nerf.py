@@ -117,6 +117,26 @@ def test_nerf_octree_grid_quick():
     assert result["psnr"] > 16.0, f"PSNR too low: {result}"
 
 
+def test_nerf_segmented_early_stop_render():
+    """Validation rendering through segmented marching + early ray termination must reach
+    the same PSNR floor as single-pass rendering (wrong transmittance compositing or ray
+    compaction would tank it)."""
+    result = _light([
+        "--grid.constructor", "HashGrid.from-geometric",
+        "--grid.feature-std", "1e-9",
+        "--grid.num-lods", "6",
+        "--grid.codebook-bitwidth", "12",
+        "--grid.min-grid-res", "16",
+        "--grid.max-grid-res", "64",
+        "--grid.multiscale-type", "cat",
+        "--tracer.raymarch-type", "ray",
+        "--tracer.num-steps", "64",
+        "--trainer.render-segments", "4",
+        "--blas-level", "4",
+    ], epochs=8)
+    assert result["psnr"] > 16.0, f"PSNR too low: {result}"
+
+
 def test_nerf_voxel_marching_quick():
     """'voxel' raymarching (per-intersected-voxel samples from the DDA traversal) trains —
     the reference's default marching mode (raymarch_type voxel, octree_as.py raymarch)."""

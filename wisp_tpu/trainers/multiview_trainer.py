@@ -46,6 +46,11 @@ class ConfigMultiviewTrainer(ConfigBaseTrainer):
     target_sample_size: int = 2 ** 18
     save_valid_imgs: bool = False
     adaptive_compaction: bool = False
+    # inference-only early ray termination: march in `render_segments` depth segments,
+    # dropping rays whose transmittance fell below `render_early_stop` (opaque scenes
+    # finish most rays in the first segment). 1 = classic single-pass rendering.
+    render_segments: int = 1
+    render_early_stop: float = 1e-3
 
 
 class MultiviewTrainer(BaseTrainer):
@@ -177,9 +182,18 @@ class MultiviewTrainer(BaseTrainer):
 
     # -- validation (reference :191-303) -------------------------------------------------------
     _infer_cache = None
+    _infer_seg_cache = None
 
     def render_view(self, pipeline, rays: Rays, chunk: int = 32768):
-        """Full-view inference in chunks through a jitted (cached) tracer call."""
+        """Full-view inference in chunks through a jitted (cached) tracer call.
+
+        With cfg.render_segments > 1, marching is split into depth segments with
+        transmittance carried across them; rays whose transmittance drops below
+        cfg.render_early_stop are compacted away between segments (the fixed-shape analog
+        of the reference renderer's early ray termination — opaque scenes finish most rays
+        in the first segment, so later segments run on a fraction of the rays)."""
+        if int(self.cfg.render_segments or 1) > 1:
+            return self._render_view_segmented(pipeline, rays, chunk)
         if self._infer_cache is None:
             self._infer_cache = jax.jit(
                 lambda p, r: p(rays=r, channels=["rgb", "alpha", "depth"]))
@@ -199,6 +213,51 @@ class MultiviewTrainer(BaseTrainer):
             outs.append(jax.device_get(infer(pipeline, r)))
         rgb = np.concatenate([np.asarray(o.rgb) for o in outs])[:n]
         return rgb
+
+    def _render_view_segmented(self, pipeline, rays: Rays, chunk: int = 32768):
+        """Segmented marching with transmittance carry + ray compaction (see render_view).
+
+        Each segment traces with bg_color=0 so the tracer returns premultiplied color and
+        segment opacity; compositing is the standard over operator:
+        C += T * rgb_seg, T *= (1 - alpha_seg). Live rays are host-compacted into
+        power-of-two buckets between segments so each bucket size compiles once."""
+        segs = int(self.cfg.render_segments)
+        eps = float(self.cfg.render_early_stop)
+        if self._infer_seg_cache is None:
+            num_steps = getattr(pipeline.tracer, "num_steps", 64)
+            seg_steps = max(8, int(np.ceil(num_steps / segs)))
+            self._infer_seg_cache = jax.jit(
+                lambda p, r: p(rays=r, channels=["rgb", "alpha"],
+                               bg_color=(0.0, 0.0, 0.0), num_steps=seg_steps))
+        infer = self._infer_seg_cache
+
+        n = rays.origins.shape[0]
+        origins = np.asarray(rays.origins).reshape(n, 3)
+        dirs = np.asarray(rays.dirs).reshape(n, 3)
+        edges = np.linspace(float(np.min(rays.dist_min)), float(np.max(rays.dist_max)),
+                            segs + 1)
+        color = np.zeros((n, 3), np.float32)
+        trans = np.ones((n,), np.float32)
+        live = np.arange(n)
+        for k in range(segs):
+            if live.size == 0:
+                break
+            bucket = max(1024, int(2 ** np.ceil(np.log2(live.size))))
+            idx = np.concatenate([live, np.zeros(bucket - live.size, live.dtype)])
+            for i in range(0, bucket, chunk):
+                sl = idx[i:i + chunk]
+                m = max(0, min(live.size - i, sl.size))   # real (non-pad) entries
+                if m == 0:
+                    break
+                r = Rays(jnp.asarray(origins[sl]), jnp.asarray(dirs[sl]),
+                         float(edges[k]), float(edges[k + 1]))
+                rb = jax.device_get(infer(pipeline, r))
+                real = sl[:m]
+                color[real] += trans[real, None] * np.asarray(rb.rgb)[:m]
+                trans[real] = trans[real] * (1.0 - np.asarray(rb.alpha)[:m, 0])
+            live = live[trans[live] > eps]
+        bg = np.asarray(getattr(pipeline.tracer, "bg_color", (1.0, 1.0, 1.0)), np.float32)
+        return color + trans[:, None] * bg[None, :]
 
     def evaluate_metrics(self, dataset, lod_idx=None, name: str = "validation"):
         pipeline = self.sync_pipeline()
