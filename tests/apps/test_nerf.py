@@ -117,6 +117,30 @@ def test_nerf_octree_grid_quick():
     assert result["psnr"] > 16.0, f"PSNR too low: {result}"
 
 
+def test_nerf_valid_exr_dumps(tmp_path):
+    """save_valid_imgs writes multi-channel EXR render-buffer dumps alongside PNGs
+    (reference multiview_trainer.py:228-240 via pyexr; here the self-contained writer)."""
+    import glob
+    _light([
+        "--grid.constructor", "HashGrid.from-geometric",
+        "--grid.num-lods", "4",
+        "--grid.codebook-bitwidth", "10",
+        "--grid.min-grid-res", "16",
+        "--grid.max-grid-res", "32",
+        "--grid.multiscale-type", "cat",
+        "--tracer.raymarch-type", "ray",
+        "--tracer.num-steps", "32",
+        "--trainer.save-valid-imgs", "true",
+        "--tracker.log-dir", str(tmp_path),
+        "--blas-level", "4",
+    ], epochs=2)
+    exrs = glob.glob(str(tmp_path) + "/**/*.exr", recursive=True)
+    assert exrs, "no EXR render-buffer dumps written"
+    from wisp_tpu.ops.image import read_exr
+    ch = read_exr(exrs[0])
+    assert {"R", "G", "B", "alpha"} <= set(ch), f"missing channels: {sorted(ch)}"
+
+
 def test_nerf_segmented_early_stop_render():
     """Validation rendering through segmented marching + early ray termination must reach
     the same PSNR floor as single-pass rendering (wrong transmittance compositing or ray

@@ -153,8 +153,11 @@ class RenderBuffer:
         return {k: np.asarray(v) for k, v in self.channels.items()}
 
     def exr_dict(self) -> Dict[str, np.ndarray]:
-        """Float channels dict for EXR export; vector channels kept as-is."""
-        return {k: np.asarray(v, dtype=np.float32) for k, v in self.channels.items()}
+        """Float channels dict for EXR export: rgb renamed to 'default', scalar (0-dim)
+        counters dropped (reference render_buffer.py:311-324; viewable with e.g. tev)."""
+        return {("default" if k == "rgb" else k): np.asarray(v, dtype=np.float32)
+                for k, v in self.channels.items()
+                if v is not None and getattr(v, "ndim", 0) > 0}
 
     def image(self) -> "RenderBuffer":
         """8-bit displayable buffer: rgb scaled to [0,255], alpha/depth normalized

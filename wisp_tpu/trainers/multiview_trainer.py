@@ -184,8 +184,11 @@ class MultiviewTrainer(BaseTrainer):
     _infer_cache = None
     _infer_seg_cache = None
 
-    def render_view(self, pipeline, rays: Rays, chunk: int = 32768):
+    def render_view(self, pipeline, rays: Rays, chunk: int = 32768,
+                    return_buffer: bool = False):
         """Full-view inference in chunks through a jitted (cached) tracer call.
+        Returns the rgb array, or the concatenated RenderBuffer with return_buffer=True
+        (for multi-channel EXR dumps, reference multiview_trainer.py:228-240).
 
         With cfg.render_segments > 1, marching is split into depth segments with
         transmittance carried across them; rays whose transmittance drops below
@@ -193,7 +196,8 @@ class MultiviewTrainer(BaseTrainer):
         of the reference renderer's early ray termination — opaque scenes finish most rays
         in the first segment, so later segments run on a fraction of the rays)."""
         if int(self.cfg.render_segments or 1) > 1:
-            return self._render_view_segmented(pipeline, rays, chunk)
+            return self._render_view_segmented(pipeline, rays, chunk,
+                                               return_buffer=return_buffer)
         if self._infer_cache is None:
             self._infer_cache = jax.jit(
                 lambda p, r: p(rays=r, channels=["rgb", "alpha", "depth"]))
@@ -211,10 +215,14 @@ class MultiviewTrainer(BaseTrainer):
             r = Rays(jnp.asarray(origins[i:i + chunk]), jnp.asarray(dirs[i:i + chunk]),
                      rays.dist_min, rays.dist_max)
             outs.append(jax.device_get(infer(pipeline, r)))
+        if return_buffer:
+            from wisp_tpu.core.render_buffer import RenderBuffer
+            return RenderBuffer.cat(outs)[:n]
         rgb = np.concatenate([np.asarray(o.rgb) for o in outs])[:n]
         return rgb
 
-    def _render_view_segmented(self, pipeline, rays: Rays, chunk: int = 32768):
+    def _render_view_segmented(self, pipeline, rays: Rays, chunk: int = 32768,
+                               return_buffer: bool = False):
         """Segmented marching with transmittance carry + ray compaction (see render_view).
 
         Each segment traces with bg_color=0 so the tracer returns premultiplied color and
@@ -257,7 +265,11 @@ class MultiviewTrainer(BaseTrainer):
                 trans[real] = trans[real] * (1.0 - np.asarray(rb.alpha)[:m, 0])
             live = live[trans[live] > eps]
         bg = np.asarray(getattr(pipeline.tracer, "bg_color", (1.0, 1.0, 1.0)), np.float32)
-        return color + trans[:, None] * bg[None, :]
+        rgb = color + trans[:, None] * bg[None, :]
+        if return_buffer:
+            from wisp_tpu.core.render_buffer import RenderBuffer
+            return RenderBuffer(rgb=rgb, alpha=(1.0 - trans)[:, None])
+        return rgb
 
     def evaluate_metrics(self, dataset, lod_idx=None, name: str = "validation"):
         pipeline = self.sync_pipeline()
@@ -267,7 +279,11 @@ class MultiviewTrainer(BaseTrainer):
             batch = dataset.data  # untransformed full views
             rays = batch["rays"][i]
             gts = np.asarray(batch["rgb"][i])
-            rgb = self.render_view(pipeline, rays)
+            if self.cfg.save_valid_imgs:
+                rb = self.render_view(pipeline, rays, return_buffer=True)
+                rgb = np.asarray(rb.rgb)
+            else:
+                rgb = self.render_view(pipeline, rays)
             if "psnr" in self.cfg.valid_metrics:
                 psnrs.append(psnr_fn(rgb, gts))
             if "ssim" in self.cfg.valid_metrics:
@@ -275,9 +291,16 @@ class MultiviewTrainer(BaseTrainer):
             if "lpips" in self.cfg.valid_metrics:
                 lpipss.append(lpips_fn(rgb.reshape(h, w, 3), gts.reshape(h, w, 3)))
             if self.cfg.save_valid_imgs:
-                from wisp_tpu.ops.image.io import write_png
+                from wisp_tpu.ops.image.io import write_exr, write_png
                 write_png(os.path.join(self.tracker.log_dir, f"{name}_{i}.png"),
                           rgb.reshape(h, w, 3))
+                # full multi-channel EXR dump (reference multiview_trainer.py:228-240
+                # via pyexr; here the self-contained writer)
+                exr = {k: np.asarray(v).reshape(h, w, -1)
+                       for k, v in rb.exr_dict().items()
+                       if np.asarray(v).ndim > 0 and np.asarray(v).shape[0] == h * w}
+                exr["rgb"] = exr.pop("default")
+                write_exr(os.path.join(self.tracker.log_dir, f"{name}_{i}.exr"), exr)
         metrics = {}
         if psnrs:
             metrics["psnr"] = float(np.mean(psnrs))
