@@ -33,8 +33,10 @@ def _write_synthetic_dataset(root, num_views=6, res=64):
                        "transform_matrix": np.asarray(cam.cam_to_world).tolist()})
     for split in ("train", "test"):
         with open(os.path.join(root, f"transforms_{split}.json"), "w") as fh:
+            # aabb_scale pinned to 1.0: the fixture's analytic GT is rendered at these
+            # exact poses, so the loader's lego-parity default (1.25) must not rescale them
             json.dump({"camera_angle_x": float(fov), "near": 0.0, "far": 6.0,
-                       "frames": frames}, fh)
+                       "aabb_scale": 1.0, "frames": frames}, fh)
     return root
 
 
@@ -51,6 +53,34 @@ class TestNeRFSyntheticFormat:
         # camera origins sit on the radius-3.2 sphere
         o = np.asarray(batch["rays"].origins[0])
         assert np.linalg.norm(o) == pytest.approx(3.2, abs=0.01)
+
+    def test_reference_pose_and_intrinsics_parity(self, tmp_path):
+        """Reference transform semantics (nerf_standard_dataset.py:380-423): aabb_scale
+        defaults to 1.25 and divides translations before scale/offset, cx/cy scale by
+        2**mip, near/far default 1/5, and the blender Z-up world is rotated to Y-up."""
+        from wisp_tpu.core.camera import blender_coords
+        from wisp_tpu.datasets.formats.nerf_standard import NeRFSyntheticDataset
+        root = _write_synthetic_dataset(str(tmp_path), num_views=2, res=32)
+        with open(os.path.join(root, "transforms_train.json")) as fh:
+            meta = json.load(fh)
+        del meta["aabb_scale"], meta["near"], meta["far"]
+        meta["cx"] = 20.0  # absolute pixels at mip 0
+        meta["cy"] = 12.0
+        meta["scale"] = 2.0
+        meta["offset"] = [0.1, 0.0, 0.0]
+        with open(os.path.join(root, "transforms_train.json"), "w") as fh:
+            json.dump(meta, fh)
+        ds = NeRFSyntheticDataset(dataset_path=root, split="train", mip=1)
+        assert ds.img_shape == (16, 16)
+        cam = ds.cameras["0"]
+        assert cam.x0 == pytest.approx(20.0 / 2 - 16 // 2)
+        assert cam.y0 == pytest.approx(12.0 / 2 - 16 // 2)
+        assert cam.near == 1.0 and cam.far == 5.0
+        t_raw = np.asarray(meta["frames"][0]["transform_matrix"], np.float32)[:3, 3]
+        expected = t_raw / 1.25 * 2.0 + np.array([0.1, 0.0, 0.0], np.float32)
+        # world was re-based to Y-up: camera position is expressed in the new basis
+        expected = blender_coords().T @ expected
+        np.testing.assert_allclose(cam.cam_pos, expected, atol=1e-5)
 
     def test_multiprocess_decode_matches_singleprocess(self, tmp_path):
         from wisp_tpu.datasets.formats.nerf_standard import NeRFSyntheticDataset

@@ -99,3 +99,20 @@ class Camera:
         m = np.eye(4, dtype=np.float32)
         m[:3, 3] = -np.asarray(t, dtype=np.float32)
         return dataclasses.replace(self, view_matrix=self.view_matrix @ m)
+
+    def change_coordinate_system(self, basis: np.ndarray) -> "Camera":
+        """Re-express the world in a new orthonormal basis (kaolin
+        CameraExtrinsics.change_coordinate_system semantics: view' = view @ basis_hom).
+        Used by dataset loaders to convert blender Z-up worlds to the renderer's Y-up
+        convention (reference nerf_standard_dataset.py:423, rtmv_dataset.py:479)."""
+        b = np.eye(4, dtype=np.float32)
+        b[:3, :3] = np.asarray(basis, dtype=np.float32)
+        return dataclasses.replace(self, view_matrix=self.view_matrix @ b)
+
+
+def blender_coords() -> np.ndarray:
+    """Basis change from blender's Z-up world to the Y-up render convention
+    (kaolin.render.camera.blender_coords equivalent)."""
+    return np.array([[1.0, 0.0, 0.0],
+                     [0.0, 0.0, -1.0],
+                     [0.0, 1.0, 0.0]], dtype=np.float32)

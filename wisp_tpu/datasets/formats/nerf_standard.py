@@ -60,15 +60,11 @@ class NeRFSyntheticDataset(MultiviewDataset):
         raise FileNotFoundError(f"No transforms json for split {self.split!r} under {root}")
 
     def load_singleprocess(self) -> Dict:
-        from wisp_tpu.ops.image.io import load_rgb
-        from wisp_tpu.ops.image.processing import resize_mip
-        from wisp_tpu.ops.raygen.raygen import generate_pinhole_rays
-
         root = os.path.abspath(os.path.expanduser(self.dataset_path))
         with open(self._transforms_path()) as fh:
             metadata = json.load(fh)
 
-        imgs, alphas, poses = [], [], []
+        decoded, poses = [], []
         for frame in metadata["frames"]:
             fpath = os.path.join(root, frame["file_path"])
             if not os.path.splitext(fpath)[1]:
@@ -79,69 +75,10 @@ class NeRFSyntheticDataset(MultiviewDataset):
             if not os.path.exists(fpath):
                 log.warning(f"missing frame file {fpath}, skipped")
                 continue
-            from PIL import Image
-            arr = np.asarray(Image.open(fpath)).astype(np.float32) / 255.0
-            if self.mip > 0:
-                arr = resize_mip(arr, self.mip)
-            if arr.ndim == 2:
-                arr = np.stack([arr] * 3, -1)
-            if arr.shape[-1] == 4:
-                alpha = arr[..., 3:4]
-                rgb = arr[..., :3]
-                # composite over background (reference :432-441)
-                bg = 1.0 if self.bg_color == "white" else 0.0
-                rgb = rgb * alpha + bg * (1.0 - alpha)
-            else:
-                rgb = arr
-                alpha = np.ones_like(rgb[..., :1])
-            imgs.append(rgb.astype(np.float32))
-            alphas.append(alpha.astype(np.float32))
+            decoded.append(self._load_frame_entry(
+                (fpath, self.mip, self.bg_color == "white")))
             poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
-
-        if not imgs:
-            raise RuntimeError(f"dataset at {root} contains no readable frames")
-        h, w = imgs[0].shape[:2]
-
-        # intrinsics (reference :340-390): fl_x > x_fov > camera_angle_x
-        if "fl_x" in metadata:
-            focal_x = metadata["fl_x"] / (2 ** self.mip)
-            focal_y = metadata.get("fl_y", metadata["fl_x"]) / (2 ** self.mip)
-        elif "x_fov" in metadata:
-            focal_x = 0.5 * w / np.tan(0.5 * np.radians(metadata["x_fov"]))
-            focal_y = focal_x
-        else:
-            focal_x = 0.5 * w / np.tan(0.5 * float(metadata["camera_angle_x"]))
-            focal_y = focal_x
-        x0 = metadata.get("cx", w / 2.0 + 0.0) - w / 2.0
-        y0 = metadata.get("cy", h / 2.0 + 0.0) - h / 2.0
-
-        # pose transforms (reference :392-399)
-        offset = np.asarray(metadata.get("offset", [0.0, 0.0, 0.0]), dtype=np.float32)
-        scale = float(metadata.get("scale", 1.0))
-        aabb_scale = float(metadata.get("aabb_scale", 1.0))
-
-        near = float(metadata.get("near", 0.0))
-        far = float(metadata.get("far", 6.0))
-
-        cameras, all_rays = {}, []
-        rgbs, masks = [], []
-        for i, (rgb, alpha, pose) in enumerate(zip(imgs, alphas, poses)):
-            c2w = pose.copy()
-            c2w[:3, 3] = (c2w[:3, 3] * scale + offset) / aabb_scale
-            camera = Camera.from_cam_to_world(c2w, width=w, height=h,
-                                              focal_x=focal_x, focal_y=focal_y,
-                                              x0=x0, y0=y0, near=near, far=far)
-            cameras[str(i)] = camera
-            rays = generate_pinhole_rays(camera)
-            all_rays.append(Rays(origins=np.asarray(rays.origins),
-                                 dirs=np.asarray(rays.dirs),
-                                 dist_min=near, dist_max=far))
-            rgbs.append(rgb.reshape(-1, 3))
-            masks.append((alpha > 0.5).reshape(-1, 1))
-
-        self._img_shape = (h, w)
-        self._cameras = cameras
-        return {"rays": all_rays, "rgb": rgbs, "masks": masks}
+        return self._assemble(decoded, poses, metadata)
 
     @staticmethod
     def _load_frame_entry(args):
@@ -183,21 +120,19 @@ class NeRFSyntheticDataset(MultiviewDataset):
                 poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
         with mp.Pool(min(self.dataset_num_workers, mp.cpu_count())) as pool:
             decoded = pool.map(self._load_frame_entry, jobs)
-        # splice decoded frames into the single-process pipeline by monkey-free reuse:
-        self._predecoded = (decoded, poses, metadata)
-        try:
-            return self._assemble(decoded, poses, metadata)
-        finally:
-            self._predecoded = None
+        return self._assemble(decoded, poses, metadata)
 
     def _assemble(self, decoded, poses, metadata) -> Dict:
-        """Camera/ray assembly shared by both load paths."""
+        """Camera/ray assembly shared by both load paths (reference :340-450)."""
+        from wisp_tpu.core.camera import blender_coords
         from wisp_tpu.ops.raygen.raygen import generate_pinhole_rays
         imgs = [d[0] for d in decoded]
         alphas = [d[1] for d in decoded]
         if not imgs:
             raise RuntimeError("dataset contains no readable frames")
         h, w = imgs[0].shape[:2]
+        # intrinsics (reference :340-390): fl_x > x_fov > camera_angle_x. w/h are already
+        # mip-downscaled, so focal/principal-point values from metadata scale by 2**mip.
         if "fl_x" in metadata:
             focal_x = metadata["fl_x"] / (2 ** self.mip)
             focal_y = metadata.get("fl_y", metadata["fl_x"]) / (2 ** self.mip)
@@ -207,20 +142,23 @@ class NeRFSyntheticDataset(MultiviewDataset):
         else:
             focal_x = 0.5 * w / np.tan(0.5 * float(metadata["camera_angle_x"]))
             focal_y = focal_x
-        x0 = metadata.get("cx", w / 2.0) - w / 2.0
-        y0 = metadata.get("cy", h / 2.0) - h / 2.0
+        x0 = float(metadata["cx"]) / (2 ** self.mip) - w // 2 if "cx" in metadata else 0.0
+        y0 = float(metadata["cy"]) / (2 ** self.mip) - h // 2 if "cy" in metadata else 0.0
+        # pose transforms (reference :392-399): t/aabb_scale*scale + offset, aabb 1.25
         offset = np.asarray(metadata.get("offset", [0.0, 0.0, 0.0]), dtype=np.float32)
         scale = float(metadata.get("scale", 1.0))
-        aabb_scale = float(metadata.get("aabb_scale", 1.0))
-        near = float(metadata.get("near", 0.0))
-        far = float(metadata.get("far", 6.0))
+        aabb_scale = float(metadata.get("aabb_scale", 1.25))
+        near = float(metadata.get("near", 1.0))
+        far = float(metadata.get("far", 5.0))
         cameras, all_rays, rgbs, masks = {}, [], [], []
         for i, (rgb, alpha, pose) in enumerate(zip(imgs, alphas, poses)):
             c2w = pose.copy()
-            c2w[:3, 3] = (c2w[:3, 3] * scale + offset) / aabb_scale
+            c2w[:3, 3] = c2w[:3, 3] / aabb_scale * scale + offset
             camera = Camera.from_cam_to_world(c2w, width=w, height=h, focal_x=focal_x,
                                               focal_y=focal_y, x0=x0, y0=y0,
                                               near=near, far=far)
+            # blender Z-up world -> render Y-up convention (reference :423)
+            camera = camera.change_coordinate_system(blender_coords())
             cameras[str(i)] = camera
             rays = generate_pinhole_rays(camera)
             all_rays.append(Rays(origins=np.asarray(rays.origins),

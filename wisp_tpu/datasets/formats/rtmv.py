@@ -118,6 +118,9 @@ class RTMVDataset(MultiviewDataset):
                                               width=w, height=h,
                                               focal_x=focal_x, focal_y=focal_y,
                                               near=0.0, far=6.0)
+            # RTMV worlds are blender Z-up (reference rtmv_dataset.py:479)
+            from wisp_tpu.core.camera import blender_coords
+            camera = camera.change_coordinate_system(blender_coords())
             cameras[str(i)] = camera
             rays = generate_pinhole_rays(camera)
             all_rays.append(Rays(np.asarray(rays.origins), np.asarray(rays.dirs),
