@@ -3,10 +3,20 @@
 Counterpart of the reference's vendored 1.4k-line CUDA kernel (wisp/csrc/external/
 mesh2sdf_kernel.cu, via ops/mesh/compute_sdf.py:18-40). TPU-native formulation: the
 [points × triangles] closest-point problem is a dense pairwise computation that XLA tiles
-naturally — chunked over both axes to bound memory, min-reduced over triangles. Sign is
-assigned by the angle-weighted-pseudonormal test of the nearest triangle (Baerentzen &
-Aanaes 2005) — robust for watertight meshes, matching the use cases of the reference
-(SDF supervision of closed shapes).
+naturally — chunked over both axes to bound memory, min-reduced over triangles.
+
+Sign rule — angle-weighted pseudonormals (Baerentzen & Aanaes 2005, the same scheme the
+reference's mesh2sdf kernel implements): a single nearest face's geometric normal is
+ambiguous when the closest point lies on an edge or vertex (the argmin tie-break can pick a
+face whose normal points the wrong way at concave features). Instead, every face whose
+distance ties the minimum votes with its incident-angle weight:
+
+    s(p) = sum over near-min faces t of  alpha_t(cp_t) * dot(n_t, p - cp_t)
+
+where alpha is 2*pi when the closest point cp_t falls in the face interior, pi on an edge,
+and the face's interior angle at the vertex when it falls on a vertex. sign = -1 iff s < 0.
+Using each face's own closest point in the dot also resolves exact medial-axis ties (e.g.
+the midplane of a thin slab), where the summed pseudonormal alone would cancel.
 """
 
 from __future__ import annotations
@@ -21,32 +31,81 @@ import numpy as np
 from wisp_tpu.ops.mesh.ops import closest_point_on_triangle
 
 
-@partial(jax.jit, static_argnames=())
-def _sdf_chunk(points, va, vb, vc, face_normals):
-    """[P,3] points vs [T,3] triangle vertices -> (dist [P], sign [P])."""
-    p = points[:, None, :]                        # [P, 1, 3]
+def _face_vertex_angles(v: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """[T, 3] interior angle of each face at each of its three vertices."""
+    a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+
+    def ang(at, p, q):
+        u, w = p - at, q - at
+        cosang = np.sum(u * w, -1) / np.maximum(
+            np.linalg.norm(u, axis=-1) * np.linalg.norm(w, axis=-1), 1e-12)
+        return np.arccos(np.clip(cosang, -1.0, 1.0))
+
+    return np.stack([ang(a, b, c), ang(b, c, a), ang(c, a, b)], axis=-1).astype(np.float32)
+
+
+@jax.jit
+def _dist_chunk(points, va, vb, vc):
+    """Pass 1: unsigned min distance of [P,3] points to [T] triangles -> [P]."""
+    cp = closest_point_on_triangle(points[:, None, :], va[None], vb[None], vc[None])
+    d2 = jnp.sum((points[:, None, :] - cp) ** 2, axis=-1)
+    return jnp.min(d2, axis=-1)
+
+
+@jax.jit
+def _sign_chunk(points, va, vb, vc, face_normals, vert_angles, d2min):
+    """Pass 2: pseudonormal vote of this triangle chunk for each point -> [P].
+
+    Accumulates alpha_t * dot(n_t, p - cp_t) over faces within epsilon of the global
+    minimum distance (d2min from pass 1)."""
+    p = points[:, None, :]                                       # [P, 1, 3]
     cp = closest_point_on_triangle(p, va[None], vb[None], vc[None])  # [P, T, 3]
     diff = p - cp
-    d2 = jnp.sum(diff * diff, axis=-1)            # [P, T]
-    tmin = jnp.argmin(d2, axis=-1)                # [P]
-    dmin = jnp.sqrt(jnp.take_along_axis(d2, tmin[:, None], axis=-1)[:, 0])
-    # sign: direction to nearest point vs nearest face normal
-    nearest_cp = jnp.take_along_axis(cp, tmin[:, None, None], axis=1)[:, 0]
-    n = face_normals[tmin]
-    inside = jnp.sum((points - nearest_cp) * n, axis=-1) < 0.0
-    return jnp.where(inside, -dmin, dmin)
+    d2 = jnp.sum(diff * diff, axis=-1)                           # [P, T]
+    eps = 1e-8 + 1e-4 * d2min                                    # relative tie band on d^2
+    near = d2 <= (d2min + eps)[:, None]
+
+    # barycentrics of cp inside its triangle -> feature classification
+    v0 = (vb - va)[None]
+    v1 = (vc - va)[None]
+    v2 = cp - va[None]
+    d00 = jnp.sum(v0 * v0, -1)
+    d01 = jnp.sum(v0 * v1, -1)
+    d11 = jnp.sum(v1 * v1, -1)
+    d20 = jnp.sum(v2 * v0, -1)
+    d21 = jnp.sum(v2 * v1, -1)
+    denom = jnp.maximum(d00 * d11 - d01 * d01, 1e-20)
+    bv = (d11 * d20 - d01 * d21) / denom
+    bw = (d00 * d21 - d01 * d20) / denom
+    bu = 1.0 - bv - bw
+    eb = 1e-4
+    at_a = (bv < eb) & (bw < eb)                                 # cp at vertex a, etc.
+    at_b = (bu < eb) & (bw < eb)
+    at_c = (bu < eb) & (bv < eb)
+    on_vertex = at_a | at_b | at_c
+    on_edge = ~on_vertex & ((bu < eb) | (bv < eb) | (bw < eb))
+    vertex_angle = jnp.where(at_a, vert_angles[None, :, 0],
+                             jnp.where(at_b, vert_angles[None, :, 1],
+                                       vert_angles[None, :, 2]))
+    alpha = jnp.where(on_vertex, vertex_angle,
+                      jnp.where(on_edge, jnp.pi, 2.0 * jnp.pi))  # [P, T]
+
+    vote = jnp.sum(diff * face_normals[None], axis=-1)           # dot(n_t, p - cp_t)
+    return jnp.sum(jnp.where(near, alpha * vote, 0.0), axis=-1)  # [P]
 
 
 def compute_sdf(vertices, faces, points, point_chunk: int = 16384,
                 tri_chunk: int = 8192) -> np.ndarray:
     """Signed distance of ``points`` [N,3] to the mesh (reference compute_sdf.py:18-40,
     which chunks CUDA calls the same way). Host-driven chunking keeps the [P,T] pairwise
-    buffers bounded."""
-    from wisp_tpu.ops.mesh.ops import per_face_normals
+    buffers bounded. Two passes over triangle chunks: global min distance, then the
+    angle-weighted pseudonormal sign vote."""
     v = np.asarray(vertices, dtype=np.float32)
     f = np.asarray(faces, dtype=np.int32)
     pts = np.asarray(points, dtype=np.float32)
+    from wisp_tpu.ops.mesh.ops import per_face_normals
     normals = np.asarray(per_face_normals(v, f), dtype=np.float32)
+    angles = _face_vertex_angles(v, f)
 
     va_all, vb_all, vc_all = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
     out = np.empty((len(pts),), dtype=np.float32)
@@ -54,27 +113,27 @@ def compute_sdf(vertices, faces, points, point_chunk: int = 16384,
     num_tris = len(f)
     for i in range(0, len(pts), point_chunk):
         chunk = jnp.asarray(pts[i:i + point_chunk])
-        if num_tris <= tri_chunk:
-            d = _sdf_chunk(chunk, jnp.asarray(va_all), jnp.asarray(vb_all),
-                           jnp.asarray(vc_all), jnp.asarray(normals))
-        else:
-            # two-level: closest over triangle chunks, keep the signed value of the argmin
-            best = None
-            for j in range(0, num_tris, tri_chunk):
-                dj = _sdf_chunk(chunk, jnp.asarray(va_all[j:j + tri_chunk]),
-                                jnp.asarray(vb_all[j:j + tri_chunk]),
-                                jnp.asarray(vc_all[j:j + tri_chunk]),
-                                jnp.asarray(normals[j:j + tri_chunk]))
-                best = dj if best is None else jnp.where(
-                    jnp.abs(dj) < jnp.abs(best), dj, best)
-            d = best
+        d2min = None
+        for j in range(0, num_tris, tri_chunk):
+            d2j = _dist_chunk(chunk, jnp.asarray(va_all[j:j + tri_chunk]),
+                              jnp.asarray(vb_all[j:j + tri_chunk]),
+                              jnp.asarray(vc_all[j:j + tri_chunk]))
+            d2min = d2j if d2min is None else jnp.minimum(d2min, d2j)
+        s = None
+        for j in range(0, num_tris, tri_chunk):
+            sj = _sign_chunk(chunk, jnp.asarray(va_all[j:j + tri_chunk]),
+                             jnp.asarray(vb_all[j:j + tri_chunk]),
+                             jnp.asarray(vc_all[j:j + tri_chunk]),
+                             jnp.asarray(normals[j:j + tri_chunk]),
+                             jnp.asarray(angles[j:j + tri_chunk]), d2min)
+            s = sj if s is None else s + sj
+        d = jnp.where(s < 0.0, -jnp.sqrt(d2min), jnp.sqrt(d2min))
         out[i:i + point_chunk] = np.asarray(d)
     return out
 
 
 def closest_point(vertices, faces, points) -> Tuple[np.ndarray, np.ndarray]:
     """(closest surface points [N,3], distances [N]) — reference closest_point.py."""
-    from wisp_tpu.ops.mesh.ops import per_face_normals
     v = np.asarray(vertices, dtype=np.float32)
     f = np.asarray(faces, dtype=np.int32)
     pts = jnp.asarray(points, dtype=jnp.float32)
