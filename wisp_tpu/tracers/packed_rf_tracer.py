@@ -11,7 +11,9 @@ fuses into one program (SURVEY.md §7):
 * rgb = bg·(1-alpha) + sum_i w_i·c_i;  depth = sum_i w_i·t_i;  alpha = sum_i w_i;
   hit = alpha > 0 — exactly the reference's outputs (packed_rf_tracer.py:137-165).
 * extra channels are volumetrically integrated then scaled by alpha
-  (packed_rf_tracer.py:167-179).
+  (packed_rf_tracer.py:167-179). Unlike the reference (which re-invokes the nef per extra
+  channel), all requested channels are fetched in ONE nef call riding the same compaction
+  budget — a single grid interpolation per trace.
 """
 
 from __future__ import annotations
@@ -69,6 +71,10 @@ class PackedRFTracer(BaseTracer):
 
         flat = samples.reshape(n * s, 3)
         ray_d = jnp.broadcast_to(rays.dirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
+        # One nef invocation covers rgb+density AND every extra channel (reference
+        # packed_rf_tracer.py:167-179 re-queries per channel; here channel dispatch batches
+        # them so extra channels ride the same grid interpolation + compaction budget).
+        req_channels = ["rgb", "density", *extra_channels]
         if compaction and compaction > 0.0:
             # Sample compaction: the fixed-shape analog of the reference's packed-sample
             # culling (octree_as.py fast_filter_method, :21-34) — only occupied samples pay
@@ -80,17 +86,23 @@ class PackedRFTracer(BaseTracer):
             (idx,) = jnp.nonzero(flat_mask, size=budget, fill_value=n * s)
             cflat = jnp.take(flat, jnp.minimum(idx, n * s - 1), axis=0)
             cray_d = jnp.take(ray_d, jnp.minimum(idx, n * s - 1), axis=0)
-            out = nef(channels=["rgb", "density"], coords=cflat, ray_d=cray_d,
+            out = nef(channels=req_channels, coords=cflat, ray_d=cray_d,
                       lod_idx=lod_idx)
-            color = jnp.zeros((n * s, 3), out["rgb"].dtype).at[idx].set(
-                out["rgb"], mode="drop").reshape(n, s, 3)
-            density = jnp.zeros((n * s,), out["density"].dtype).at[idx].set(
-                out["density"][:, 0], mode="drop").reshape(n, s)
+
+            def scatter_back(v):  # [B, C] -> [n, s, C] with padding dropped
+                v2 = v.reshape(v.shape[0], -1)
+                full = jnp.zeros((n * s, v2.shape[-1]), v2.dtype).at[idx].set(
+                    v2, mode="drop")
+                return full.reshape(n, s, v2.shape[-1])
         else:
-            out = nef(channels=["rgb", "density"], coords=flat, ray_d=ray_d,
+            out = nef(channels=req_channels, coords=flat, ray_d=ray_d,
                       lod_idx=lod_idx)
-            color = out["rgb"].reshape(n, s, 3)
-            density = out["density"].reshape(n, s)
+
+            def scatter_back(v):  # [n*s, C] -> [n, s, C]
+                return v.reshape(n, s, -1)
+
+        color = scatter_back(out["rgb"])
+        density = scatter_back(out["density"])[..., 0]
 
         tau = density * deltas * mask.astype(density.dtype)            # optical thickness
         sum_prev = jnp.cumsum(tau, axis=-1) - tau                      # exclusive prefix
@@ -106,9 +118,7 @@ class PackedRFTracer(BaseTracer):
 
         extra_outputs = {}
         for channel in extra_channels:
-            feats = nef(channels=channel, coords=flat, ray_d=ray_d, lod_idx=lod_idx)
-            num_channels = feats.shape[-1]
-            f = feats.reshape(n, s, num_channels)
+            f = scatter_back(out[channel])                              # [R, S, C]
             ray_feats = jnp.sum(transmittance[..., None] * f, axis=1)
             extra_outputs[channel] = alpha * ray_feats
 
