@@ -90,6 +90,51 @@ class TestImageMetrics:
         assert 0.0 <= s < 0.95
 
 
+class TestLPIPS:
+    """Native-JAX LPIPS (VGG-16 + linear heads). Real pretrained weights aren't in this
+    environment; these tests exercise the network with small random weights in the
+    documented npz schema (tools/export_lpips_weights.py) and the explicit-drop path."""
+
+    def _fake_weights(self, tmp_path):
+        from wisp_tpu.ops.image import metrics as M
+        rng = np.random.default_rng(0)
+        out, cin = {}, 3
+        for i, (cout, _pool) in enumerate(M._VGG_PLAN):
+            out[f"conv{i}_w"] = rng.normal(0, 0.1, (3, 3, cin, cout)).astype(np.float32)
+            out[f"conv{i}_b"] = np.zeros(cout, np.float32)
+            cin = cout
+        for k, tap in enumerate(M._TAPS):
+            out[f"lin{k}_w"] = rng.random(M._VGG_PLAN[tap][0]).astype(np.float32)
+        p = tmp_path / "lpips_fake.npz"
+        np.savez(p, **out)
+        return str(p)
+
+    def test_lpips_runs_with_weights(self, tmp_path, monkeypatch):
+        from wisp_tpu.ops.image import metrics as M
+        monkeypatch.setenv("WISP_LPIPS_WEIGHTS", self._fake_weights(tmp_path))
+        M.reset_lpips_cache()
+        try:
+            assert M.lpips_available()
+            rng = np.random.default_rng(1)
+            a = rng.random((64, 64, 3)).astype(np.float32)
+            b = np.clip(a + rng.normal(0, 0.2, a.shape), 0, 1).astype(np.float32)
+            assert M.lpips(a, a) == pytest.approx(0.0, abs=1e-6)
+            assert M.lpips(a, b) > 0.0
+        finally:
+            M.reset_lpips_cache()
+
+    def test_lpips_unavailable_raises(self, monkeypatch):
+        from wisp_tpu.ops.image import metrics as M
+        monkeypatch.delenv("WISP_LPIPS_WEIGHTS", raising=False)
+        M.reset_lpips_cache()
+        try:
+            assert not M.lpips_available()
+            with pytest.raises(RuntimeError, match="WISP_LPIPS_WEIGHTS"):
+                M.lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
+        finally:
+            M.reset_lpips_cache()
+
+
 class TestChecks:
     def test_assert_all_finite(self):
         from wisp_tpu.utils.checks import assert_all_finite

@@ -69,25 +69,106 @@ def ssim(rgb, gts, max_val: float = 1.0) -> float:
     return float(jnp.mean(ssim_map[pad:-pad, pad:-pad]))
 
 
-_lpips_model = None
-_lpips_warned = False
+# --------------------------------------------------------------------------------------
+# LPIPS (reference metrics.py:37-53 uses the `lpips` torch package). Here the full
+# VGG-16 LPIPS network (Zhang et al. 2018) is implemented natively in JAX; the pretrained
+# weights (~58 MB fp32, ~29 MB fp16) load from an .npz pointed at by the
+# WISP_LPIPS_WEIGHTS env var. tools/export_lpips_weights.py converts the torch `lpips`
+# package checkpoint into that .npz on any machine that has torch+lpips installed.
+#
+# Weight schema (npz keys):
+#   conv{i}_w [kh, kw, cin, cout] (HWIO), conv{i}_b [cout]   for i in 0..12  (VGG-16 convs)
+#   lin{k}_w  [c_k]                                          for k in 0..4   (calibration)
+# When no weights are available, lpips_available() is False and lpips() raises — callers
+# (trainers) drop the metric with an explicit one-time log instead of emitting silent NaN.
+# --------------------------------------------------------------------------------------
+
+# VGG-16 conv plan: (out_channels, maxpool_before_this_conv)
+_VGG_PLAN = [(64, False), (64, False), (128, True), (128, False), (256, True), (256, False),
+             (256, False), (512, True), (512, False), (512, False), (512, True),
+             (512, False), (512, False)]
+# indices (into the 13 convs) after whose relu LPIPS taps features: relu1_2..relu5_3
+_TAPS = (1, 3, 6, 9, 12)
+# lpips input normalization (applied to images scaled to [-1, 1])
+_SHIFT = np.asarray([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
+
+_lpips_weights = None
+_lpips_tried = False
+_lpips_fn = None
 
 
-def lpips(rgb, gts, net: str = "vgg") -> float:
-    """Learned perceptual similarity (reference metrics.py:37-53). Needs the ``lpips``
-    package + pretrained weights; unavailable in this environment → returns NaN once-warned."""
-    global _lpips_model, _lpips_warned
-    try:
-        import torch
-        import lpips as lpips_lib
-        if _lpips_model is None:
-            _lpips_model = lpips_lib.LPIPS(net=net)
-        a = torch.from_numpy(np.asarray(rgb, dtype=np.float32)).permute(2, 0, 1)[None] * 2 - 1
-        b = torch.from_numpy(np.asarray(gts, dtype=np.float32)).permute(2, 0, 1)[None] * 2 - 1
-        with torch.no_grad():
-            return float(_lpips_model(a, b).item())
-    except ImportError:
-        if not _lpips_warned:
-            log.warning("lpips package unavailable; lpips() returns NaN")
-            _lpips_warned = True
-        return float("nan")
+def _load_lpips_weights():
+    global _lpips_weights, _lpips_tried
+    if _lpips_tried:
+        return _lpips_weights
+    _lpips_tried = True
+    import os
+    path = os.environ.get("WISP_LPIPS_WEIGHTS", "")
+    if path and os.path.exists(path):
+        raw = np.load(path)
+        _lpips_weights = {k: np.asarray(raw[k], np.float32) for k in raw.files}
+        log.info("loaded LPIPS weights from %s", path)
+    return _lpips_weights
+
+
+def lpips_available() -> bool:
+    """True iff LPIPS weights were found (WISP_LPIPS_WEIGHTS). Callers should check this
+    and *drop* the metric explicitly rather than report NaN."""
+    return _load_lpips_weights() is not None
+
+
+def reset_lpips_cache():
+    """Re-probe WISP_LPIPS_WEIGHTS on next call (test hook)."""
+    global _lpips_weights, _lpips_tried, _lpips_fn
+    _lpips_weights, _lpips_tried, _lpips_fn = None, False, None
+
+
+def _lpips_forward(weights, a, b):
+    """a, b: [H, W, 3] in [0, 1] → scalar LPIPS distance."""
+    import jax.lax as lax
+    shift, scale = jnp.asarray(_SHIFT), jnp.asarray(_SCALE)
+
+    def prep(img):
+        img = img.astype(jnp.float32) * 2.0 - 1.0          # [-1, 1]
+        img = (img - shift) / scale
+        return img[None]                                    # [1, H, W, 3] NHWC
+
+    def vgg_taps(x):
+        taps = []
+        for i, (_, pool) in enumerate(_VGG_PLAN):
+            if pool:
+                x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                                      "VALID")
+            x = lax.conv_general_dilated(x, weights[f"conv{i}_w"], (1, 1), "SAME",
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jax.nn.relu(x + weights[f"conv{i}_b"])
+            if i in _TAPS:
+                taps.append(x)
+        return taps
+
+    ta, tb = vgg_taps(prep(a)), vgg_taps(prep(b))
+    total = 0.0
+    for k, (fa, fb) in enumerate(zip(ta, tb)):
+        na = fa / jnp.sqrt(jnp.sum(fa ** 2, axis=-1, keepdims=True) + 1e-10)
+        nb = fb / jnp.sqrt(jnp.sum(fb ** 2, axis=-1, keepdims=True) + 1e-10)
+        d2 = (na - nb) ** 2                                  # [1, h, w, c]
+        lin = jnp.maximum(weights[f"lin{k}_w"], 0.0)         # lpips clamps lin weights >= 0
+        total = total + jnp.mean(jnp.sum(d2 * lin, axis=-1)) # 1x1 conv + spatial average
+    return total
+
+
+def lpips(rgb, gts) -> float:
+    """Learned perceptual image patch similarity, VGG variant (Zhang et al. 2018;
+    reference metrics.py:37-53). Raises RuntimeError when no weights are configured —
+    check :func:`lpips_available` first."""
+    global _lpips_fn
+    weights = _load_lpips_weights()
+    if weights is None:
+        raise RuntimeError(
+            "LPIPS weights unavailable: set WISP_LPIPS_WEIGHTS to an .npz exported by "
+            "tools/export_lpips_weights.py (or remove 'lpips' from valid_metrics)")
+    if _lpips_fn is None:
+        _lpips_fn = jax.jit(_lpips_forward)
+    jw = {k: jnp.asarray(v) for k, v in weights.items()}
+    return float(_lpips_fn(jw, jnp.asarray(rgb, jnp.float32), jnp.asarray(gts, jnp.float32)))

@@ -73,7 +73,13 @@ class ImageTrainer(BaseTrainer):
         if "ssim" in self.cfg.valid_metrics:
             metrics["ssim"] = ssim_fn(img, gt)
         if "lpips" in self.cfg.valid_metrics:
-            metrics["lpips"] = lpips_fn(img, gt)
+            from wisp_tpu.ops.image.metrics import lpips_available
+            if lpips_available():
+                metrics["lpips"] = lpips_fn(img, gt)
+            elif not getattr(self, "_lpips_drop_warned", False):
+                log.warning("'lpips' in valid_metrics but no weights configured "
+                            "(set WISP_LPIPS_WEIGHTS); dropping the metric")
+                self._lpips_drop_warned = True
 
         log_text = "EPOCH {}/{}".format(self.epoch, self.max_epochs)
         for k, v in metrics.items():

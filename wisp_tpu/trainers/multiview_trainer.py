@@ -274,6 +274,15 @@ class MultiviewTrainer(BaseTrainer):
     def evaluate_metrics(self, dataset, lod_idx=None, name: str = "validation"):
         pipeline = self.sync_pipeline()
         h, w = dataset.img_shape
+        want_lpips = "lpips" in self.cfg.valid_metrics
+        if want_lpips:
+            from wisp_tpu.ops.image.metrics import lpips_available
+            if not lpips_available():
+                want_lpips = False
+                if not getattr(self, "_lpips_drop_warned", False):
+                    log.warning("'lpips' in valid_metrics but no weights configured "
+                                "(set WISP_LPIPS_WEIGHTS); dropping the metric")
+                    self._lpips_drop_warned = True
         psnrs, ssims, lpipss = [], [], []
         for i in range(len(dataset)):
             batch = dataset.data  # untransformed full views
@@ -288,7 +297,7 @@ class MultiviewTrainer(BaseTrainer):
                 psnrs.append(psnr_fn(rgb, gts))
             if "ssim" in self.cfg.valid_metrics:
                 ssims.append(ssim_fn(rgb.reshape(h, w, 3), gts.reshape(h, w, 3)))
-            if "lpips" in self.cfg.valid_metrics:
+            if want_lpips:
                 lpipss.append(lpips_fn(rgb.reshape(h, w, 3), gts.reshape(h, w, 3)))
             if self.cfg.save_valid_imgs:
                 from wisp_tpu.ops.image.io import write_exr, write_png
