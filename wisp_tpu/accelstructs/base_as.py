@@ -36,6 +36,7 @@ class ASRaytraceResults:
     t_entry: jax.Array  # [R, K] entry depth per intersection
     t_exit: jax.Array   # [R, K] exit depth per intersection
     mask: jax.Array     # [R, K] validity
+    overflow: jax.Array = None  # [R] bool — capacity saturated, intervals were dropped
 
 
 @jtu.register_dataclass

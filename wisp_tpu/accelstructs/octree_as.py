@@ -194,14 +194,24 @@ class OctreeAS(Module, BaseAS):
 
     # -- raytrace (reference octree_as.py:165-186) ---------------------------------------------
     def raytrace(self, rays: Rays, level: Optional[int] = None, with_exit: bool = False,
-                 capacity: int = 64, max_steps: Optional[int] = None) -> ASRaytraceResults:
+                 capacity: Optional[int] = None,
+                 max_steps: Optional[int] = None) -> ASRaytraceResults:
         """3D-DDA traversal at ``level`` emitting up to ``capacity`` occupied-cell intervals
         per ray (entry/exit depths always computed; the reference's with_exit flag is
-        vestigial here)."""
+        vestigial here).
+
+        The reference returns unbounded nugget lists (octree_as.py:165-186); a fixed-shape
+        TPU program cannot, so ``capacity`` defaults to ``min(3·2**level + 2, 256)`` — the
+        exact upper bound on cells any ray can cross at ``level`` (the DDA step budget), so
+        through level 6 no interval can ever be dropped — and saturation is *detected*, not
+        silent: ``results.overflow[r]`` is True whenever ray ``r`` had an occupied interval
+        dropped past the cap."""
         if level is None:
             level = self.max_level
         res = 2 ** level
         voxel = 2.0 / res
+        if capacity is None:
+            capacity = min(3 * res + 2, 256)
         if max_steps is None:
             max_steps = 3 * res + 2
 
@@ -241,11 +251,13 @@ class OctreeAS(Module, BaseAS):
             buf_tout = jnp.zeros((capacity,), jnp.float32)
 
             def body(carry, _):
-                iv, t_max_c, t_cur, ptr, bp, bi, bo, alive = carry
+                iv, t_max_c, t_cur, ptr, bp, bi, bo, alive, ovf = carry
                 axis = jnp.argmin(t_max_c)
                 t_next = jnp.minimum(t_max_c[axis], tf)
                 occ, pidx = occupied(iv)
-                write = jnp.logical_and(jnp.logical_and(alive, occ), ptr < capacity)
+                hit = jnp.logical_and(alive, occ)
+                write = jnp.logical_and(hit, ptr < capacity)
+                ovf = jnp.logical_or(ovf, jnp.logical_and(hit, ptr >= capacity))
                 widx = jnp.where(write, ptr, capacity - 1)
                 bp = jnp.where(write, bp.at[widx].set(pidx), bp)
                 bi = jnp.where(write, bi.at[widx].set(t_cur), bi)
@@ -255,17 +267,17 @@ class OctreeAS(Module, BaseAS):
                 t_max_c = t_max_c.at[axis].add(t_delta[axis])
                 alive = jnp.logical_and(alive, t_next < tf)
                 alive = jnp.logical_and(alive, jnp.all((iv >= 0) & (iv < res)))
-                return (iv, t_max_c, t_next, ptr, bp, bi, bo, alive), None
+                return (iv, t_max_c, t_next, ptr, bp, bi, bo, alive, ovf), None
 
             init = (iv0, t_max, jnp.maximum(tn, 0.0), jnp.int32(0),
-                    buf_pidx, buf_tin, buf_tout, tf > tn)
-            (iv, t_max_c, t_cur, ptr, bp, bi, bo, alive), _ = jax.lax.scan(
+                    buf_pidx, buf_tin, buf_tout, tf > tn, jnp.asarray(False))
+            (iv, t_max_c, t_cur, ptr, bp, bi, bo, alive, ovf), _ = jax.lax.scan(
                 body, init, None, length=max_steps)
-            return bp, bi, bo, ptr
+            return bp, bi, bo, ptr, ovf
 
-        bp, bi, bo, nint = jax.vmap(trace_one)(rays.origins, rays.dirs, t_near, t_far)
+        bp, bi, bo, nint, ovf = jax.vmap(trace_one)(rays.origins, rays.dirs, t_near, t_far)
         mask = bp >= 0
-        return ASRaytraceResults(pidx=bp, t_entry=bi, t_exit=bo, mask=mask)
+        return ASRaytraceResults(pidx=bp, t_entry=bi, t_exit=bo, mask=mask, overflow=ovf)
 
     # -- raymarch (reference octree_as.py:188-374) ---------------------------------------------
     def raymarch(self, rays: Rays, raymarch_type: str = "voxel", num_samples: int = 64,
