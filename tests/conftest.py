@@ -25,6 +25,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "smoke: fast gate (<3 min total) — unit + kernel-equivalence tests")
+    config.addinivalue_line(
+        "markers", "full: long e2e train-to-PSNR tests (reference CI shards these per "
+        "config, ubuntu_test_CI.jenkins:56-149)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-tier: tests/apps (and explicitly-marked slow unit tests) are 'full'; everything
+    else is 'smoke'. `pytest -m smoke` gates a round in minutes; `-m full` runs the e2e
+    trainings."""
+    for item in items:
+        explicit = {m.name for m in item.iter_markers()} & {"smoke", "full"}
+        if explicit:
+            continue
+        if "/apps/" in str(item.fspath) or "\\apps\\" in str(item.fspath):
+            item.add_marker(pytest.mark.full)
+        else:
+            item.add_marker(pytest.mark.smoke)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

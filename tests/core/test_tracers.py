@@ -4,6 +4,7 @@ equivalence (the reference smoke-tests extra-channel plumbing, test_packed_rf_tr
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wisp_tpu.accelstructs import OctreeAS
 from wisp_tpu.core import Rays
@@ -68,6 +69,7 @@ class TestPackedRFTracer:
         np.testing.assert_allclose(np.asarray(rb_a.alpha), np.asarray(rb_b.alpha),
                                    atol=1e-5)
 
+    @pytest.mark.full
     def test_compaction_gradients(self):
         pipe = _setup(compaction=1.0)
         rays = _rays(16)

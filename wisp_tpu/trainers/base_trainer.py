@@ -455,7 +455,9 @@ class BaseTrainer(ABC):
 
     def save_model(self):
         """Checkpoint the pipeline (reference base_trainer.py:344-359). 'full' pickles the
-        entire pipeline pytree (structure + weights); 'state_dict' saves only array leaves."""
+        entire pipeline pytree (structure + weights); 'state_dict' saves the array leaves
+        as a PATH-keyed npz (stable across non-structural code changes, reloadable via
+        :func:`load_state_dict`)."""
         pipeline = self.sync_pipeline()
         suffix = f"-ep{self.epoch}-it{self.iteration}" if self.cfg.save_as_new else ""
         model_fname = os.path.join(self.tracker.log_dir, f"model{suffix}.ckpt")
@@ -464,9 +466,9 @@ class BaseTrainer(ABC):
             with open(model_fname, "wb") as fh:
                 pickle.dump(jax.device_get(pipeline), fh)
         else:
-            leaves = jtu.tree_leaves(pipeline)
+            flat, _ = jtu.tree_flatten_with_path(pipeline)
             np.savez(model_fname + ".npz",
-                     **{str(i): np.asarray(l) for i, l in enumerate(leaves)
+                     **{jtu.keystr(p): np.asarray(l) for p, l in flat
                         if isinstance(l, (jax.Array, np.ndarray))})
         self.tracker.log_artifact(model_fname=model_fname,
                                   names=["latest", f"ep{self.epoch}_it{self.iteration}"])
@@ -477,3 +479,34 @@ def load_pipeline(path: str):
     (reference apps' --pretrained flow, main_nerf.py:86-103)."""
     with open(path, "rb") as fh:
         return pickle.load(fh)
+
+
+def load_state_dict(pipeline, path: str, strict: bool = True):
+    """Restore a 'state_dict'-format npz saved by :meth:`BaseTrainer.save_model` into a
+    freshly-constructed ``pipeline`` of the same architecture. Arrays match by pytree PATH
+    (e.g. ``.nef.grid.codebook[0]``), so adding/removing non-array attributes between save
+    and load is harmless. With ``strict`` every stored array must find its slot and every
+    array slot must be filled."""
+    stored = np.load(path)
+    flat, treedef = jtu.tree_flatten_with_path(pipeline)
+    used = set()
+    leaves = []
+    for p, leaf in flat:
+        key = jtu.keystr(p)
+        if isinstance(leaf, (jax.Array, np.ndarray)) and key in stored.files:
+            arr = stored[key]
+            if arr.shape != tuple(leaf.shape):
+                raise ValueError(f"shape mismatch at {key}: checkpoint {arr.shape} "
+                                 f"vs model {tuple(leaf.shape)}")
+            leaves.append(jnp.asarray(arr, dtype=leaf.dtype)
+                          if isinstance(leaf, jax.Array) else arr.astype(leaf.dtype))
+            used.add(key)
+        else:
+            if strict and isinstance(leaf, (jax.Array, np.ndarray)):
+                raise KeyError(f"checkpoint {path} has no array for pipeline slot {key}")
+            leaves.append(leaf)
+    if strict:
+        unused = set(stored.files) - used
+        if unused:
+            raise KeyError(f"checkpoint arrays with no pipeline slot: {sorted(unused)[:8]}")
+    return jtu.tree_unflatten(treedef, leaves)
