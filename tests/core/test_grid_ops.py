@@ -173,6 +173,95 @@ class TestLayoutOptimizedVsNaive:
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_naive), atol=1e-4)
 
 
+class TestDenseMatmulPath:
+    """Dense-table LODs interpolated via the factored MXU matmul must match the naive
+    oracle: exactly for 'f32_highest', to bf16 tolerance for 'bf16'. Mixed ladders (dense +
+    hash LODs) must only switch the dense ones."""
+
+    def _setup(self, rng, resolutions, bw, dim=3):
+        cs = 2 ** bw
+        sizes = tuple(min(r ** dim, cs) for r in resolutions)
+        first = tuple(np.concatenate([[0], np.cumsum(sizes)])[:-1].tolist())
+        codebook = jnp.asarray(rng.standard_normal((sum(sizes), 2)), jnp.float32)
+        coords = jnp.asarray(rng.random((500, dim)) * 2 - 1, jnp.float32)
+        return codebook, first, sizes, coords
+
+    def test_forward_exact_f32_highest(self, rng):
+        resolutions = (4, 16, 37, 128)  # 4/16 dense at bw 10; 37/128 hash
+        codebook, first, sizes, coords = self._setup(rng, resolutions, 10)
+        ref = grid_ops.hashgrid(coords, resolutions, 10, 3, codebook, first, sizes)
+        mm = grid_ops.hashgrid(coords, resolutions, 10, 3, codebook, first, sizes,
+                               dense_matmul="f32_highest")
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(ref), atol=1e-5)
+
+    def test_forward_bf16_tolerance(self, rng):
+        resolutions = (4, 16)
+        codebook, first, sizes, coords = self._setup(rng, resolutions, 12)
+        ref = grid_ops.hashgrid(coords, resolutions, 12, 1, codebook, first, sizes)
+        mm = grid_ops.hashgrid(coords, resolutions, 12, 1, codebook, first, sizes,
+                               dense_matmul="bf16")
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(ref), atol=5e-2)
+
+    def test_gradient_exact_f32_highest(self, rng):
+        resolutions = (4, 16)
+        codebook, first, sizes, coords = self._setup(rng, resolutions, 12)
+        g_ref = jax.grad(lambda cb: jnp.sum(
+            grid_ops.hashgrid(coords, resolutions, 12, 1, cb, first, sizes) ** 2))(codebook)
+        g_mm = jax.grad(lambda cb: jnp.sum(
+            grid_ops.hashgrid(coords, resolutions, 12, 1, cb, first, sizes,
+                              dense_matmul="f32_highest") ** 2))(codebook)
+        np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref), atol=1e-4)
+
+    def test_2d_forward_exact(self, rng):
+        resolutions = (8, 16)
+        codebook, first, sizes, coords = self._setup(rng, resolutions, 10, dim=2)
+        ref = grid_ops.hashgrid(coords, resolutions, 10, 1, codebook, first, sizes)
+        mm = grid_ops.hashgrid(coords, resolutions, 10, 1, codebook, first, sizes,
+                               dense_matmul="f32_highest")
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(ref), atol=1e-5)
+
+    def test_max_compute_lod_truncation(self, rng):
+        """interpolate(max_compute_lod=k) must equal the full result on LODs <= k and be
+        exactly zero above (spacing-based LOD truncation contract)."""
+        from wisp_tpu.models.grids import HashGrid
+        g = HashGrid.from_geometric(feature_dim=2, num_lods=5, codebook_bitwidth=10,
+                                    min_grid_res=4, max_grid_res=64,
+                                    multiscale_type="cat", feature_std=0.1,
+                                    key=jax.random.PRNGKey(0))
+        coords = jnp.asarray(rng.random((64, 3)) * 2 - 1, jnp.float32)
+        full = np.asarray(g.interpolate(coords, 4))
+        trunc = np.asarray(g.interpolate(coords, 4, max_compute_lod=1))
+        np.testing.assert_allclose(trunc[:, :4], full[:, :4], atol=1e-6)
+        assert np.all(trunc[:, 4:] == 0.0)
+
+    def test_static_lod_skip_matches_traced(self, rng):
+        """With a static int lod_idx the masked top LODs are skipped entirely; the result
+        must still be identical to the traced-lod_idx path (which computes then masks)."""
+        from wisp_tpu.models.grids import HashGrid
+        g = HashGrid.from_geometric(feature_dim=2, num_lods=4, codebook_bitwidth=10,
+                                    min_grid_res=4, max_grid_res=32,
+                                    multiscale_type="cat", feature_std=0.1,
+                                    key=jax.random.PRNGKey(1))
+        coords = jnp.asarray(rng.random((64, 3)) * 2 - 1, jnp.float32)
+        a = np.asarray(g.interpolate(coords, 2))
+        b = np.asarray(g.interpolate(coords, jnp.asarray(2)))  # traced: computes all
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_hashgrid_class_plumbs_mode(self, rng):
+        from wisp_tpu.models.grids import HashGrid
+        g0 = HashGrid.from_geometric(feature_dim=2, num_lods=3, codebook_bitwidth=14,
+                                     min_grid_res=4, max_grid_res=16,
+                                     key=jax.random.PRNGKey(0))
+        g1 = HashGrid.from_geometric(feature_dim=2, num_lods=3, codebook_bitwidth=14,
+                                     min_grid_res=4, max_grid_res=16,
+                                     dense_lod_matmul="f32_highest",
+                                     key=jax.random.PRNGKey(0))
+        coords = jnp.asarray(rng.random((64, 3)) * 2 - 1, jnp.float32)
+        a = g0.interpolate(coords, 2)
+        b = g1.interpolate(coords, 2)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
 class TestFreeze:
     def test_frozen_grid_gets_zero_gradients(self, rng):
         import jax

@@ -100,6 +100,39 @@ class TestPackedRFTracer:
         rb = pipe(rays=_rays(8), channels=["rgb", "color_feature"])
         assert rb.color_feature.shape == (8, 3)
 
+    def test_early_stop_identity_before_prune(self):
+        """Until pruning refreshes the density EMA, estimates are exactly 0 → transmittance
+        1 → early_stop must be a no-op (bit-identical output)."""
+        pipe = _setup()
+        pipe_es = pipe.replace(tracer=pipe.tracer.replace(early_stop=1e-2))
+        rays = _rays(32)
+        rb_a = pipe(rays=rays, channels=["rgb", "alpha"])
+        rb_b = pipe_es(rays=rays, channels=["rgb", "alpha"])
+        np.testing.assert_array_equal(np.asarray(rb_a.rgb), np.asarray(rb_b.rgb))
+
+    def test_early_stop_culls_occluded_samples(self):
+        """Steady state: the density EMA matches the field's true (opaque) density, so
+        samples behind the surface must be culled (num_valid_samples drops) with a
+        negligible change to the integrated image (instant-ngp early termination)."""
+        pipe = _setup()
+        # make the field genuinely opaque: density head bias -> ~60 everywhere
+        dd = pipe.nef.decoder_density
+        dd = dd.replace(lout=dd.lout.replace(bias=dd.lout.bias.at[0].set(60.0)))
+        pipe = pipe.replace(nef=pipe.nef.replace(decoder_density=dd))
+        blas = pipe.nef.grid.blas
+        dens = jnp.where(blas.occ_grid, 60.0, -1.0)  # EMA = true density
+        blas2 = blas.update_occupancy(blas.occ_grid, cell_density=dens)
+        pipe2 = pipe.replace(nef=pipe.nef.replace(grid=pipe.nef.grid.replace(blas=blas2)))
+        pipe_es = pipe2.replace(tracer=pipe2.tracer.replace(early_stop=1e-3))
+        rays = _rays(32)
+        rb_full = pipe2(rays=rays, channels=["rgb", "alpha"])
+        rb_es = pipe_es(rays=rays, channels=["rgb", "alpha"])
+        assert float(rb_es.num_valid_samples) < 0.5 * float(rb_full.num_valid_samples)
+        np.testing.assert_allclose(np.asarray(rb_es.alpha), np.asarray(rb_full.alpha),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(rb_es.rgb), np.asarray(rb_full.rgb),
+                                   atol=2e-3)
+
     def test_extra_channels_ride_compaction(self, monkeypatch):
         """Extra channels must share the single compacted nef call — no grid interpolation
         may run on the full uncompacted [R*S] sample set (VERDICT r1 #5; contrast reference

@@ -47,6 +47,7 @@ class ASRaymarchResults:
     depth_samples: jax.Array  # [R, S] sample depths along ray
     deltas: jax.Array         # [R, S] inter-sample step sizes
     mask: jax.Array           # [R, S] sample validity (inside occupied cells)
+    cell_density: jax.Array = None  # [R, S] per-sample density EMA (0 until pruning runs)
     pidx: Optional[jax.Array] = None  # [R, S] cell index per sample (when available)
 
 

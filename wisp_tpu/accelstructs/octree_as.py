@@ -61,6 +61,7 @@ class OctreeAS(Module, BaseAS):
             self.codes = None
             self.points = None
             self.occ_grid = None
+            self.cell_density = None
         else:
             self.codes = [jnp.asarray(c.astype(np.uint32)) for c in codes_per_level]
             self.points = [jnp.asarray(morton_to_points(c)) for c in codes_per_level]
@@ -70,6 +71,12 @@ class OctreeAS(Module, BaseAS):
             flat = (leaf_pts[:, 0] * res + leaf_pts[:, 1]) * res + leaf_pts[:, 2]
             occ[flat] = True
             self.occ_grid = jnp.asarray(occ)
+            # Occupancy + density-EMA fused into ONE gatherable field: -1 = empty cell,
+            # >= 0 = density estimate (starts 0, refreshed by NeuralRadianceField.prune).
+            # The marcher's per-sample occupancy gather then yields the density estimate
+            # for free — it powers train-time transmittance early termination
+            # (PackedRFTracer early_stop) at zero extra index cost.
+            self.cell_density = jnp.where(self.occ_grid, 0.0, -1.0).astype(jnp.float32)
 
     # -- constructors (reference octree_as.py:42-144) -----------------------------------------
     @classmethod
@@ -119,12 +126,22 @@ class OctreeAS(Module, BaseAS):
         obj.codes = None
         obj.points = None
         obj.occ_grid = jnp.ones((8 ** level,), bool)
+        obj.cell_density = jnp.zeros((8 ** level,), jnp.float32)
         return obj
 
-    def update_occupancy(self, occ_grid) -> "OctreeAS":
+    def update_occupancy(self, occ_grid, cell_density=None) -> "OctreeAS":
         """Functionally replace the max_level occupancy bitfield (the pruning fast path:
-        topology tables are untouched; the marchers only consult the bitfield)."""
-        new = self.replace(occ_grid=occ_grid.reshape(self.occ_grid.shape))
+        topology tables are untouched; the marchers only consult the bitfield).
+        ``cell_density`` optionally refreshes the fused density-EMA field; otherwise the
+        old estimates are kept where cells stay occupied."""
+        occ_grid = occ_grid.reshape(self.occ_grid.shape)
+        if cell_density is None:
+            old = self.cell_density if self.cell_density is not None \
+                else jnp.zeros_like(occ_grid, jnp.float32)
+            cell_density = jnp.where(occ_grid, jnp.maximum(old, 0.0), -1.0)
+        new = self.replace(occ_grid=occ_grid,
+                           cell_density=cell_density.reshape(occ_grid.shape)
+                           .astype(jnp.float32))
         new.__dict__["dense"] = False
         return new
 
@@ -294,9 +311,21 @@ class OctreeAS(Module, BaseAS):
 
     def _sample_grid(self, rays: Rays, depths: jax.Array) -> ASRaymarchResults:
         coords = rays.origins[:, None, :] + rays.dirs[:, None, :] * depths[..., None]
-        occ = self.occupancy_at(coords)
         deltas = jnp.diff(depths, axis=-1,
                           append=depths[:, -1:] + (depths[:, -1:] - depths[:, -2:-1]))
+        if not self.dense and self.cell_density is not None:
+            # One gather serves both the occupancy mask AND the per-sample density
+            # estimate (fused field: -1 = empty) — no extra index cost over the old
+            # boolean bitfield gather.
+            inside = jnp.all((coords >= -1.0) & (coords < 1.0), axis=-1)
+            res = 2 ** self.max_level
+            q = quantize_points_jnp(coords, self.max_level)
+            flat = (q[..., 0] * res + q[..., 1]) * res + q[..., 2]
+            vals = jnp.where(inside, self.cell_density[flat], -1.0)
+            return ASRaymarchResults(samples=coords, depth_samples=depths, deltas=deltas,
+                                     mask=vals >= 0.0,
+                                     cell_density=jnp.maximum(vals, 0.0))
+        occ = self.occupancy_at(coords)
         return ASRaymarchResults(samples=coords, depth_samples=depths, deltas=deltas,
                                  mask=occ)
 
@@ -316,7 +345,8 @@ class OctreeAS(Module, BaseAS):
         hit = (t_far > t_near)[:, None]
         return ASRaymarchResults(samples=result.samples, depth_samples=result.depth_samples,
                                  deltas=span[:, None] / num_samples,
-                                 mask=result.mask & hit)
+                                 mask=result.mask & hit,
+                                 cell_density=result.cell_density)
 
     def _raymarch_voxel(self, rays: Rays, num_samples: int, level: int,
                         key, budget: int = 1024) -> ASRaymarchResults:
@@ -338,7 +368,8 @@ class OctreeAS(Module, BaseAS):
         valid = depths < t_far[:, None]
         return ASRaymarchResults(samples=result.samples, depth_samples=depths,
                                  deltas=jnp.full_like(depths, step),
-                                 mask=result.mask & valid)
+                                 mask=result.mask & valid,
+                                 cell_density=result.cell_density)
 
     def _raymarch_uniform(self, rays: Rays, num_samples: int, key) -> ASRaymarchResults:
         """Equi-spaced global step over the whole AABB diagonal
@@ -357,7 +388,8 @@ class OctreeAS(Module, BaseAS):
         valid = depths < t_far[:, None]
         return ASRaymarchResults(samples=result.samples, depth_samples=depths,
                                  deltas=jnp.full_like(depths, step),
-                                 mask=result.mask & valid)
+                                 mask=result.mask & valid,
+                                 cell_density=result.cell_density)
 
     # -- stats (reference octree_as.py:431-441) ------------------------------------------------
     def occupancy(self) -> List[int]:

@@ -34,9 +34,11 @@ class HashGrid(BLASGrid):
                  feature_bias: float = 0.0,
                  codebook_bitwidth: int = 8,
                  coord_dim: int = 3,
+                 dense_lod_matmul: Optional[str] = None,
                  *,
                  key=None):
         assert coord_dim in (2, 3)
+        assert dense_lod_matmul in (None, "bf16", "f32", "f32_highest")
         self.blas = blas
         self.feature_dim = feature_dim
         self.multiscale_type = multiscale_type
@@ -45,6 +47,9 @@ class HashGrid(BLASGrid):
         self.codebook_bitwidth = codebook_bitwidth
         self.codebook_size = 2 ** codebook_bitwidth
         self.coord_dim = coord_dim
+        # TPU fast path: dense-table LODs interpolate via one MXU matmul (ops/grid.py
+        # _lod_features_dense_matmul) instead of 8 gathers + 8 backward scatters.
+        self.dense_lod_matmul = dense_lod_matmul
 
         self.frozen = False
         self.resolutions = tuple(int(r) for r in resolutions)
@@ -70,21 +75,23 @@ class HashGrid(BLASGrid):
     def from_octree(cls, blas=None, feature_dim: int = 2, base_lod: int = 2,
                     num_lods: int = 1, multiscale_type: str = "sum",
                     feature_std: float = 0.0, feature_bias: float = 0.0,
-                    codebook_bitwidth: int = 8, coord_dim: int = 3, *, key=None) -> "HashGrid":
+                    codebook_bitwidth: int = 8, coord_dim: int = 3,
+                    dense_lod_matmul: Optional[str] = None, *, key=None) -> "HashGrid":
         """Octree sampling pattern: resolutions 2^(base_lod) .. 2^(base_lod+num_lods-1)."""
         octree_lods = [base_lod + x for x in range(num_lods)]
         resolutions = [2 ** lod for lod in octree_lods]
         return cls(blas=blas, feature_dim=feature_dim, resolutions=resolutions,
                    multiscale_type=multiscale_type, feature_std=feature_std,
                    feature_bias=feature_bias, codebook_bitwidth=codebook_bitwidth,
-                   coord_dim=coord_dim, key=key)
+                   coord_dim=coord_dim, dense_lod_matmul=dense_lod_matmul, key=key)
 
     @classmethod
     def from_geometric(cls, blas=None, feature_dim: int = 2, num_lods: int = 16,
                        multiscale_type: str = "sum", feature_std: float = 0.0,
                        feature_bias: float = 0.0, codebook_bitwidth: int = 8,
                        min_grid_res: int = 16, max_grid_res: int = 2048,
-                       coord_dim: int = 3, *, key=None) -> "HashGrid":
+                       coord_dim: int = 3, dense_lod_matmul: Optional[str] = None,
+                       *, key=None) -> "HashGrid":
         """Geometric b-growth per instant-ngp Section 3 eq. 2-3
         (reference hash_grid.py:124-162)."""
         b = np.exp((np.log(max_grid_res) - np.log(min_grid_res)) / (num_lods - 1))
@@ -92,7 +99,7 @@ class HashGrid(BLASGrid):
         return cls(blas=blas, feature_dim=feature_dim, resolutions=resolutions,
                    multiscale_type=multiscale_type, feature_std=feature_std,
                    feature_bias=feature_bias, codebook_bitwidth=codebook_bitwidth,
-                   coord_dim=coord_dim, key=key)
+                   coord_dim=coord_dim, dense_lod_matmul=dense_lod_matmul, key=key)
 
     @classmethod
     def from_resolutions(cls, blas=None, feature_dim: int = 2,
@@ -112,19 +119,45 @@ class HashGrid(BLASGrid):
         requires_grad_(False); functional form: stop_gradient in interpolate)."""
         return self.replace(frozen=True)
 
+    # HashGrid.interpolate accepts max_compute_lod (LOD-truncation fast path)
+    SUPPORTS_COMPUTE_CAP = True
+
     # -- feature lookup (reference hash_grid.py:205-233) --------------------------------------
-    def interpolate(self, coords, lod_idx):
+    def interpolate(self, coords, lod_idx, max_compute_lod: Optional[int] = None):
+        """Multiscale feature lookup. ``max_compute_lod`` (static int) caps how many LODs
+        are actually computed — LODs above it yield zero features. Two uses:
+        (1) spacing-based LOD truncation (PackedRFTracer lod_spacing_scale): LODs whose
+        cells are finer than the ray sampling step alias anyway; (2) when lod_idx is a
+        static int under 'cat', LODs >= lod_idx are ALWAYS zeroed by the reference's own
+        column mask (hash_grid.py:226-229), so computing them is pure waste — they are
+        skipped automatically with identical output."""
         output_shape = coords.shape[:-1]
         flat = coords.reshape(-1, coords.shape[-1])
         table = self.codebook.feats
         if self.frozen:
             table = jnp.asarray(jax.lax.stop_gradient(table))
-        feats = grid_ops.hashgrid(
-            flat, self.codebook.resolutions, self.codebook_bitwidth,
-            self.num_lods - 1,  # kernel computes all LODs (reference quirk)
-            table, self.codebook.begin_idxes, self.codebook.num_feats)
+
+        num_compute = self.num_lods  # reference quirk: kernel computes all LODs
+        if self.multiscale_type == "cat" and isinstance(lod_idx, (int, np.integer)):
+            # columns >= lod_idx*F get zeroed below; skip computing those LODs
+            num_compute = min(num_compute, int(lod_idx))
+        if max_compute_lod is not None:
+            num_compute = min(num_compute, int(max_compute_lod) + 1)
+
+        width = self.num_lods * self.feature_dim
+        if num_compute <= 0:
+            feats = jnp.zeros((flat.shape[0], width), table.dtype)
+        else:
+            feats = grid_ops.hashgrid(
+                flat, self.codebook.resolutions, self.codebook_bitwidth,
+                num_compute - 1,
+                table, self.codebook.begin_idxes, self.codebook.num_feats,
+                dense_matmul=self.dense_lod_matmul)
+            if num_compute < self.num_lods:
+                feats = jnp.pad(feats, ((0, 0), (0, width - feats.shape[-1])))
+
         if self.multiscale_type == "cat":
-            feats = feats.reshape(*output_shape, feats.shape[-1])
+            feats = feats.reshape(*output_shape, width)
             # lod_idx may be a traced scalar (random_lod training, reference
             # multiview_trainer.py:127-132) — the column mask works either way
             mask = (jnp.arange(self.num_lods * self.feature_dim)

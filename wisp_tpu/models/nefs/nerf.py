@@ -110,15 +110,21 @@ class NeuralRadianceField(BaseNeuralField):
     def register_forward_functions(self):
         self._register_forward_function(self.rgba, ["density", "rgb"])
 
-    def rgba(self, coords, ray_d, lod_idx=None):
+    def rgba(self, coords, ray_d, lod_idx=None, max_compute_lod=None):
         """[N,3] coords + [N,3] view dirs -> {'rgb': [N,3], 'density': [N,1]}
-        (reference nerf.py:219-264)."""
+        (reference nerf.py:219-264). ``max_compute_lod`` (static) lets tracers cap the
+        grid LODs actually computed (spacing-based truncation, see HashGrid.interpolate)."""
         if lod_idx is None:
             lod_idx = len(self.grid.active_lods) - 1
         batch = coords.shape[0]
 
-        feats = self.grid.interpolate(coords, lod_idx).reshape(
-            batch, self.effective_feature_dim())
+        if max_compute_lod is not None and getattr(self.grid, "SUPPORTS_COMPUTE_CAP",
+                                                   False):
+            feats = self.grid.interpolate(coords, lod_idx,
+                                          max_compute_lod=max_compute_lod)
+        else:
+            feats = self.grid.interpolate(coords, lod_idx)
+        feats = feats.reshape(batch, self.effective_feature_dim())
         if self.pos_embedder is not None:
             embedded_pos = self.pos_embedder(coords).reshape(batch, self.pos_embed_dim)
             feats = jnp.concatenate([feats, embedded_pos], axis=-1)
@@ -191,11 +197,15 @@ class NeuralRadianceField(BaseNeuralField):
         occupancy = jnp.maximum(density[:, 0], occupancy)
         mask = occupancy > self.prune_min_density
 
-        # rewrite the bitfield: tracked cells get their new state, everything else stays off
+        # rewrite the bitfield: tracked cells get their new state, everything else stays off.
+        # The fused cell-density field gets the fresh EMA (instant-ngp's density grid) so
+        # marchers hand tracers a per-sample density estimate for early termination.
         flat = (cell_coords[:, 0].astype(jnp.int32) * res
                 + cell_coords[:, 1]) * res + cell_coords[:, 2]
         bitfield = jnp.zeros((res ** 3,), bool).at[flat].set(mask)
-        new_blas = grid.blas.update_occupancy(bitfield)
+        dens_field = jnp.full((res ** 3,), -1.0, jnp.float32).at[flat].set(
+            jnp.where(mask, occupancy, -1.0))
+        new_blas = grid.blas.update_occupancy(bitfield, cell_density=dens_field)
         new_grid = grid.replace(occupancy=occupancy, blas=new_blas)
         return self.replace(grid=new_grid)
 

@@ -112,9 +112,76 @@ def _lod_features(coords_axes, res: int, codebook_size: int, level_table: jax.Ar
     return [blended[:, f] for f in range(f_dim)]
 
 
-@partial(jax.checkpoint, static_argnums=(1, 2, 3, 5, 6))
+_MM_DTYPES = {"bf16": jnp.bfloat16, "f32": jnp.float32, "f32_highest": jnp.float32}
+
+
+def _axis_weight(c0: jax.Array, frac: jax.Array, width: int, dtype) -> jax.Array:
+    """[N, width] linear-interp weight rows with exactly 2 nonzeros (1-f at c0, f at c0+1),
+    built by iota-compare (no scatter indices)."""
+    io = jnp.arange(width, dtype=jnp.int32)[None, :]
+    lo = (io == c0[:, None]).astype(dtype) * (1.0 - frac[:, None]).astype(dtype)
+    hi = (io == (c0[:, None] + 1)).astype(dtype) * frac[:, None].astype(dtype)
+    return lo + hi
+
+
+def _lod_features_dense_matmul(coords_axes, res: int, level_table: jax.Array,
+                               mode: str):
+    """Dense-table LOD interpolation as ONE MXU matmul instead of 2^d gathers + scatters.
+
+    TPU-specific design (no reference counterpart — the CUDA kernel always gathers): for a
+    dense row-major table the trilinear interp is a linear map with *factorable* weights,
+        out[n,f] = Σ_xyz Wx[n,x]·Wy[n,y]·Wz[n,z]·G[x,y,z,f],
+    so fusing the two leading axes gives out1 = (Wx⊗Wy) @ G.reshape(X·Y, Z·F) — a single
+    [N, X·Y]@[X·Y, Z·F] matmul (backward = the transposed matmul; ZERO gather/scatter
+    indices) — followed by a per-sample z-reduction on the VPU. Measured on TPU v5e at
+    N=131072, F=2 (fwd+bwd per LOD): res 16: 12.5→3.0 ms, res 32: 15.6→4.3 ms,
+    res 64: 27.8→10.0 ms, res 80: 57.8→13.3 ms vs the gather path.
+
+    ``mode``: 'bf16' (fastest, ~2e-2 abs err on unit-scale features), 'f32' (XLA default
+    TPU precision — still bf16 passes), 'f32_highest' (exact, ~2× the bf16 cost).
+    """
+    dim = len(coords_axes)
+    dtype = _MM_DTYPES[mode]
+    precision = jax.lax.Precision.HIGHEST if mode == "f32_highest" else None
+    f_dim = level_table.shape[-1]
+    n = coords_axes[0].shape[0]
+
+    c0, frac = [], []
+    for a in coords_axes:
+        x = jnp.clip((a + 1.0) * (res / 2.0), 0.0, res - 1 - 1e-5)
+        f = jnp.floor(x)
+        c0.append(f.astype(jnp.int32))   # <= res-2, so c0+1 is always in-range
+        frac.append(x - f)
+
+    # Dense row-major index is x + y·res + z·res² (_hash_index_axes), i.e. the table viewed
+    # as a box is [Z, Y, X, F] with axis 0 of `coords_axes` (x) FASTEST. The matmul fuses
+    # the two *slowest* axes; the fastest axis is the trailing per-sample reduction.
+    if dim == 3:
+        wz = _axis_weight(c0[2], frac[2], res, dtype)
+        wy = _axis_weight(c0[1], frac[1], res, dtype)
+        wx = _axis_weight(c0[0], frac[0], res, jnp.float32)
+        wzy = (wz[:, :, None] * wy[:, None, :]).reshape(n, res * res)
+        out1 = jax.lax.dot_general(
+            wzy, level_table.astype(dtype).reshape(res * res, res * f_dim),
+            (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)
+        blended = jnp.sum(out1.reshape(n, res, f_dim) * wx[:, :, None], axis=1)
+    elif dim == 2:
+        wy = _axis_weight(c0[1], frac[1], res, dtype)
+        wx = _axis_weight(c0[0], frac[0], res, jnp.float32)
+        out1 = jax.lax.dot_general(
+            wy, level_table.astype(dtype).reshape(res, res * f_dim),
+            (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)
+        blended = jnp.sum(out1.reshape(n, res, f_dim) * wx[:, :, None], axis=1)
+    else:
+        raise NotImplementedError(f"dense matmul path supports dim 2/3, got {dim}")
+    return [blended[:, f] for f in range(f_dim)]
+
+
+@partial(jax.checkpoint, static_argnums=(1, 2, 3, 5, 6, 7))
 def _hashgrid_impl(coords, resolutions, codebook_bitwidth, lod_idx, codebook,
-                   codebook_first_idx, codebook_sizes):
+                   codebook_first_idx, codebook_sizes, dense_matmul):
     codebook_size = 2 ** codebook_bitwidth
     dim = coords.shape[-1]
     coords_axes = [coords[:, d] for d in range(dim)]
@@ -122,7 +189,11 @@ def _hashgrid_impl(coords, resolutions, codebook_bitwidth, lod_idx, codebook,
     for i in range(lod_idx + 1):
         res = int(resolutions[i])
         level = codebook[codebook_first_idx[i]:codebook_first_idx[i] + codebook_sizes[i]]
-        feats.extend(_lod_features(coords_axes, res, codebook_size, level))
+        if dense_matmul is not None and res ** dim <= codebook_size:
+            feats.extend(_lod_features_dense_matmul(coords_axes, res, level,
+                                                    dense_matmul))
+        else:
+            feats.extend(_lod_features(coords_axes, res, codebook_size, level))
     # [L*F, N] -> [N, L*F]: one transpose at the boundary to the decoder
     return jnp.stack(feats, axis=0).T
 
@@ -133,7 +204,8 @@ def hashgrid(coords: jax.Array,
              lod_idx: int,
              codebook: jax.Array,
              codebook_first_idx: Sequence[int],
-             codebook_sizes: Sequence[int]) -> jax.Array:
+             codebook_sizes: Sequence[int],
+             dense_matmul: str = None) -> jax.Array:
     """Multi-LOD hash interpolation (reference ops/grid.py:128-144).
 
     Args:
@@ -141,6 +213,9 @@ def hashgrid(coords: jax.Array,
         resolutions: static per-LOD grid resolutions.
         codebook: flat feature table [total_feats, F] (all LODs stacked).
         codebook_first_idx / codebook_sizes: static per-LOD offsets/sizes into the table.
+        dense_matmul: None (always gather) or 'bf16'/'f32'/'f32_highest' — dense-table LODs
+            (res^d <= 2^bitwidth) interpolate via one MXU matmul instead of 2^d gathers
+            (see :func:`_lod_features_dense_matmul`; 3-4x faster fwd+bwd on TPU).
 
     Returns:
         [N, (lod_idx+1) * F]: per-LOD features concatenated (feature-dim fastest, matching
@@ -149,7 +224,8 @@ def hashgrid(coords: jax.Array,
     return _hashgrid_impl(coords, tuple(int(r) for r in resolutions),
                           int(codebook_bitwidth), int(lod_idx), codebook,
                           tuple(int(i) for i in codebook_first_idx),
-                          tuple(int(s) for s in codebook_sizes))
+                          tuple(int(s) for s in codebook_sizes),
+                          dense_matmul)
 
 
 def hashgrid_query(coords: jax.Array,

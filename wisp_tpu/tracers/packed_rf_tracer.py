@@ -34,12 +34,25 @@ class PackedRFTracer(BaseTracer):
                  num_steps: int = 1024,
                  step_size: float = 1.0,
                  bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
-                 compaction: float = 0.0):
+                 compaction: float = 0.0,
+                 early_stop: float = 0.0,
+                 lod_spacing_scale: float = 0.0):
         super().__init__(bg_color=bg_color)
         self.raymarch_type = raymarch_type
         self.num_steps = num_steps
         self.step_size = step_size
         self.compaction = compaction
+        # Transmittance early termination (instant-ngp-style): samples whose estimated
+        # transmittance (from the blas's per-cell density EMA, refreshed at each prune)
+        # falls below this threshold are culled BEFORE interpolation/decoding. 0 = off.
+        # The estimate is exact 0 until the first prune, so early training is unaffected.
+        self.early_stop = early_stop
+        # Spacing-based LOD truncation (cone-scaled LOD selection a la instant-ngp/mip
+        # schemes): skip grid LODs whose cell size is smaller than lod_spacing_scale x the
+        # coarsest sampling step (2*sqrt(3)/num_steps, the AABB-diagonal bound — exact for
+        # 'uniform' marching, an upper bound for 'ray'). Sub-step cells alias rather than
+        # resolve detail; skipping them cuts the most expensive hash-LOD gathers. 0 = off.
+        self.lod_spacing_scale = lod_spacing_scale
         self.prev_num_samples = None  # host-side counter for adaptive ray batching
 
     def get_prev_num_samples(self) -> Optional[int]:
@@ -55,11 +68,22 @@ class PackedRFTracer(BaseTracer):
 
     def trace(self, nef, rays, channels, extra_channels,
               lod_idx=None, raymarch_type="voxel", num_steps=64, step_size=1.0,
-              bg_color=(1.0, 1.0, 1.0), key=None, compaction=None):
+              bg_color=(1.0, 1.0, 1.0), key=None, compaction=None, early_stop=None,
+              lod_spacing_scale=None):
         assert nef.grid is not None, "this tracer requires a grid"
         n = rays.origins.shape[0]
         if lod_idx is None:
             lod_idx = nef.grid.num_lods - 1
+
+        # Host-side (static) LOD truncation by sample spacing: keep LODs whose cell size
+        # 2/res is at least lod_spacing_scale x the coarsest step. None -> all LODs.
+        max_compute_lod = None
+        if lod_spacing_scale and lod_spacing_scale > 0.0 \
+                and hasattr(nef.grid, "resolutions"):
+            delta_est = 2.0 * float(np.sqrt(3)) / num_steps
+            res_cap = 2.0 / (float(lod_spacing_scale) * delta_est)
+            keep = [i for i, r in enumerate(nef.grid.resolutions) if r <= res_cap]
+            max_compute_lod = max(keep) if keep else 0
 
         mr = nef.grid.raymarch(rays, raymarch_type=raymarch_type, num_samples=num_steps,
                                level=None, key=key)
@@ -67,6 +91,14 @@ class PackedRFTracer(BaseTracer):
         deltas = jnp.broadcast_to(mr.deltas, mr.depth_samples.shape)  # [R, S]
         depths = mr.depth_samples                  # [R, S]
         mask = mr.mask                             # [R, S]
+        if early_stop and early_stop > 0.0 and mr.cell_density is not None:
+            # Transmittance early termination (instant-ngp render loop semantics, applied
+            # in-training): estimate per-sample transmittance from the blas's density EMA
+            # (free — it rode the occupancy gather) and cull samples the ray can no longer
+            # see. Culled samples skip interpolation+decoding via the compaction budget.
+            tau_hat = mr.cell_density * deltas * mask.astype(jnp.float32)
+            t_hat = jnp.exp(-(jnp.cumsum(tau_hat, axis=-1) - tau_hat))
+            mask = mask & (t_hat > early_stop)
         s = samples.shape[1]
 
         flat = samples.reshape(n * s, 3)
@@ -87,7 +119,7 @@ class PackedRFTracer(BaseTracer):
             cflat = jnp.take(flat, jnp.minimum(idx, n * s - 1), axis=0)
             cray_d = jnp.take(ray_d, jnp.minimum(idx, n * s - 1), axis=0)
             out = nef(channels=req_channels, coords=cflat, ray_d=cray_d,
-                      lod_idx=lod_idx)
+                      lod_idx=lod_idx, max_compute_lod=max_compute_lod)
 
             def scatter_back(v):  # [B, C] -> [n, s, C] with padding dropped
                 v2 = v.reshape(v.shape[0], -1)
@@ -96,7 +128,7 @@ class PackedRFTracer(BaseTracer):
                 return full.reshape(n, s, v2.shape[-1])
         else:
             out = nef(channels=req_channels, coords=flat, ray_d=ray_d,
-                      lod_idx=lod_idx)
+                      lod_idx=lod_idx, max_compute_lod=max_compute_lod)
 
             def scatter_back(v):  # [n*s, C] -> [n, s, C]
                 return v.reshape(n, s, -1)
