@@ -26,7 +26,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# BENCH_MESH=N runs the data-parallel step over an N-device mesh. With fewer real devices
+# (the usual case: one tunneled TPU chip) an N-device virtual CPU platform is forced —
+# this measures ORCHESTRATION/dp-correctness, not hardware perf; real scaling numbers need
+# N chips. Must happen before jax initializes.
+BENCH_MESH = int(os.environ.get("BENCH_MESH", 0) or 0)
+if BENCH_MESH > 1:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={BENCH_MESH}").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
+
+if BENCH_MESH > 1:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,8 +125,12 @@ def main():
         transform = None
 
     tracker = Tracker(ConfigTracker(tensorboard=False, log_dir="/tmp/wisp_bench"), "bench")
+    mesh = None
+    if BENCH_MESH > 1:
+        from wisp_tpu.parallel import make_mesh
+        mesh = make_mesh(BENCH_MESH)
     trainer = MultiviewTrainer(cfg=cfg, pipeline=pipeline, train_dataset=_BenchDataset(),
-                               tracker=tracker)
+                               tracker=tracker, mesh=mesh)
 
     rng = np.random.default_rng(0)
     eye = np.asarray([0.0, 0.0, -3.0], np.float32)
@@ -122,6 +142,9 @@ def main():
 
     rays = Rays(jnp.asarray(origins), jnp.asarray(dirs), 0.0, 6.0)
     batch = (rays, jnp.asarray(gts), jnp.asarray(0, jnp.int32))
+    if mesh is not None:
+        from wisp_tpu.parallel import global_batch_from_local
+        batch = global_batch_from_local(batch, mesh)
 
     # warmup (compile). NOTE: block_until_ready does NOT synchronize on this remote
     # platform; fetching a scalar derived from the result is the only hard sync.
@@ -142,7 +165,8 @@ def main():
 
     rays_per_sec = num_rays * iters / dt
     result = {
-        "metric": "train_rays_per_sec_per_chip",
+        "metric": f"dp_step_rays_per_sec_mesh{BENCH_MESH}_cpu_orchestration_only"
+                  if mesh is not None else "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),

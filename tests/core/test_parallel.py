@@ -93,3 +93,55 @@ class TestDataParallel:
         trainer, batch, mesh = trainer_and_batch
         loss, aux = trainer.run_step(batch)
         assert np.isfinite(float(loss))
+
+
+class TestMultiHostInputPipeline:
+    """Multi-host input pipeline (SURVEY.md §5.8): per-process view splits + global-array
+    assembly from process-local shards. True multi-process needs real pod hardware; the
+    partition logic is simulated by injecting process_index/process_count and the
+    single-process assembly path runs for real on the 8-device mesh."""
+
+    def test_process_view_split_partitions(self):
+        from wisp_tpu.parallel import process_view_split
+        n_views, n_proc = 103, 4
+        shards = [process_view_split(n_views, pi, n_proc) for pi in range(n_proc)]
+        # disjoint + covering
+        flat = sorted(i for s in shards for i in s)
+        assert flat == list(range(n_views))
+        # balanced within 1
+        sizes = [len(s) for s in shards]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_process_sharded_dataset(self):
+        from wisp_tpu.parallel import ProcessShardedDataset
+
+        class DS:
+            img_shape = (4, 4)
+
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                return i
+
+        ds = ProcessShardedDataset(DS(), process_index=1, process_count=3)
+        assert len(ds) == 3
+        assert [ds[i] for i in range(len(ds))] == [1, 4, 7]
+        assert ds.img_shape == (4, 4)  # attribute passthrough
+
+    def test_global_batch_from_local_single_process_matches_shard_batch(
+            self, trainer_and_batch):
+        from wisp_tpu.parallel import global_batch_from_local
+        trainer, batch, mesh = trainer_and_batch
+        a = shard_batch(batch, mesh)
+        b = global_batch_from_local(batch, mesh)
+        np.testing.assert_array_equal(np.asarray(a[0].origins), np.asarray(b[0].origins))
+        assert a[0].origins.sharding == b[0].origins.sharding
+        assert b[2].sharding.is_fully_replicated
+
+    def test_trainer_step_on_multihost_assembled_batch(self, trainer_and_batch):
+        from wisp_tpu.parallel import global_batch_from_local
+        trainer, batch, mesh = trainer_and_batch
+        gbatch = global_batch_from_local(batch, mesh)
+        loss, aux = trainer.run_step(gbatch)
+        assert np.isfinite(float(loss))
