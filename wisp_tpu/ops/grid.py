@@ -15,10 +15,9 @@ reference exactly:
 TPU layout: all per-corner intermediates are kept **corner-major, sample-last** ([2^d, N]) so
 the large sample axis lands on the 128-lane dimension. The naive [N, 2^d, F] layout pads the
 tiny trailing dims 16-64x and blows HBM at production sample counts (measured: 19.8 GB for a
-2M-sample step vs <1 GB in this layout). The interpolation chain is wrapped in
-``jax.checkpoint`` so backward recomputes the gathers instead of saving them — the reference's
-CUDA backward also recomputes indices rather than storing them
-(hashgrid_interpolate_cuda.cu:84-212).
+2M-sample step vs <1 GB in this layout). Rematerialization is per-LOD and sample-count-aware
+(see the policy note above ``_hashgrid_impl``); the reference's CUDA backward likewise
+recomputes indices rather than storing them (hashgrid_interpolate_cuda.cu:84-212).
 """
 
 from __future__ import annotations
@@ -32,6 +31,35 @@ import numpy as np
 
 # Reference PRIMES (wisp/ops/grid.py:14); uint32 arithmetic wraps like the CUDA kernel's.
 PRIMES = (1, 2654435761, 805459861)
+
+
+@jax.custom_vjp
+def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather ``table[idx]`` whose backward scatters PER COLUMN.
+
+    table: [S, F], idx: [N] int32 -> [N, F].
+
+    Forward is XLA's fast row gather (~6-18 ns/index on TPU v5e). JAX's default gather
+    transpose emits a windowed row scatter-add that measures **42 ns/index**, while a rank-1
+    (single-column) scatter-add runs at **8 ns/index** (probe: 2.35M indices into [524288, 2]:
+    98.7 ms row scatter vs 19.0 ms/column flat scatter). So the custom backward does F
+    independent 1-D scatter-adds and stacks — 2.6x faster for F=2, more for F=1.
+    """
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gather_rows_bwd(res, g):
+    idx, s = res
+    cols = [jnp.zeros((s,), g.dtype).at[idx].add(g[:, f]) for f in range(g.shape[-1])]
+    dtable = jnp.stack(cols, axis=-1)
+    return dtable, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def _corner_offsets(dim: int) -> np.ndarray:
@@ -105,7 +133,7 @@ def _lod_features(coords_axes, res: int, codebook_size: int, level_table: jax.Ar
 
     idx = _hash_index_axes(idx_axes, res, codebook_size)           # [C, N]
     c, n = idx.shape
-    rows = level_table[idx.reshape(-1)]                            # [C*N, F] one gather
+    rows = gather_rows(level_table, idx.reshape(-1))               # [C*N, F] one gather
     f_dim = level_table.shape[-1]
     rows = rows.reshape(c, n, f_dim) * weights[..., None]          # [C, N, F]
     blended = jnp.sum(rows, axis=0)                                # [N, F]
@@ -179,21 +207,38 @@ def _lod_features_dense_matmul(coords_axes, res: int, level_table: jax.Array,
     return [blended[:, f] for f in range(f_dim)]
 
 
-@partial(jax.checkpoint, static_argnums=(1, 2, 3, 5, 6, 7))
+# Per-LOD rematerialization policy (replaces the round-1 whole-chain jax.checkpoint):
+# * dense-matmul LODs ALWAYS checkpoint — their [N, res^2] weight-matrix residual is the
+#   memory hog (~1.3 GB at N=42k over the 16->512 ladder) and rebuilding it is cheap
+#   elementwise iota-compare work.
+# * hash-gather LODs checkpoint only above _HASH_REMAT_THRESHOLD samples — below it their
+#   residuals (idx/weights/rows, ~33 MB per LOD at N=262k) fit comfortably, and skipping
+#   the recompute saves re-paying every forward gather index in the backward (measured
+#   12.7 ms of the 37 ms backward at the flagship bench config). Above it (the
+#   no-compaction [R*S] path, 2M+ samples) residuals would reach multiple GB -> recompute.
+_HASH_REMAT_THRESHOLD = 2 ** 19
+
+_lod_features_ckpt = partial(jax.checkpoint, static_argnums=(1, 2))(_lod_features)
+_lod_features_dense_matmul_ckpt = partial(jax.checkpoint, static_argnums=(1, 3))(
+    _lod_features_dense_matmul)
+
+
 def _hashgrid_impl(coords, resolutions, codebook_bitwidth, lod_idx, codebook,
                    codebook_first_idx, codebook_sizes, dense_matmul):
     codebook_size = 2 ** codebook_bitwidth
     dim = coords.shape[-1]
     coords_axes = [coords[:, d] for d in range(dim)]
+    hash_fn = (_lod_features_ckpt if coords.shape[0] > _HASH_REMAT_THRESHOLD
+               else _lod_features)
     feats = []
     for i in range(lod_idx + 1):
         res = int(resolutions[i])
         level = codebook[codebook_first_idx[i]:codebook_first_idx[i] + codebook_sizes[i]]
         if dense_matmul is not None and res ** dim <= codebook_size:
-            feats.extend(_lod_features_dense_matmul(coords_axes, res, level,
-                                                    dense_matmul))
+            feats.extend(_lod_features_dense_matmul_ckpt(coords_axes, res, level,
+                                                         dense_matmul))
         else:
-            feats.extend(_lod_features(coords_axes, res, codebook_size, level))
+            feats.extend(hash_fn(coords_axes, res, codebook_size, level))
     # [L*F, N] -> [N, L*F]: one transpose at the boundary to the decoder
     return jnp.stack(feats, axis=0).T
 

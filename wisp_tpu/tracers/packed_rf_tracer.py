@@ -114,8 +114,8 @@ class PackedRFTracer(BaseTracer):
             # results scatter back with out-of-bounds drop semantics for the padding.
             budget = int(np.ceil(n * s * float(compaction) / 128.0)) * 128
             budget = min(budget, n * s)
-            flat_mask = mask.reshape(n * s)
-            (idx,) = jnp.nonzero(flat_mask, size=budget, fill_value=n * s)
+            from wisp_tpu.ops.compaction import masked_compact_indices
+            idx = masked_compact_indices(mask, budget)  # scatter-free nonzero(size=budget)
             cflat = jnp.take(flat, jnp.minimum(idx, n * s - 1), axis=0)
             cray_d = jnp.take(ray_d, jnp.minimum(idx, n * s - 1), axis=0)
             out = nef(channels=req_channels, coords=cflat, ray_d=cray_d,
@@ -123,9 +123,11 @@ class PackedRFTracer(BaseTracer):
 
             def scatter_back(v):  # [B, C] -> [n, s, C] with padding dropped
                 v2 = v.reshape(v.shape[0], -1)
-                full = jnp.zeros((n * s, v2.shape[-1]), v2.dtype).at[idx].set(
-                    v2, mode="drop")
-                return full.reshape(n, s, v2.shape[-1])
+                # per-column rank-1 scatters: windowed row scatters run ~5x slower on TPU
+                # (see ops/grid.py gather_rows backward note)
+                cols = [jnp.zeros((n * s,), v2.dtype).at[idx].set(v2[:, c], mode="drop")
+                        for c in range(v2.shape[-1])]
+                return jnp.stack(cols, axis=-1).reshape(n, s, v2.shape[-1])
         else:
             out = nef(channels=req_channels, coords=flat, ray_d=ray_d,
                       lod_idx=lod_idx, max_compute_lod=max_compute_lod)
