@@ -340,3 +340,26 @@ class TestMaskedCompactIndices:
         full = jnp.ones((4, 8), bool)
         np.testing.assert_array_equal(np.asarray(masked_compact_indices(full, 5)),
                                       np.arange(5))
+
+
+class TestDenseMatmulMemoryCap:
+    def test_large_n_falls_back_to_gathers_with_same_result(self, rng, monkeypatch):
+        """Above _DENSE_MM_MAX_ELEMS the matmul path must route to the gather path (the
+        [N, res^2] weight matrix OOMs at full-render sample counts) and stay exact."""
+        resolutions, bw = [8], 14
+        sizes = [8 ** 3]
+        first = [0]
+        cb = jnp.asarray(rng.standard_normal((sizes[0], 2)).astype(np.float32))
+        coords = jnp.asarray((rng.random((256, 3)) * 1.8 - 0.9).astype(np.float32))
+
+        full = grid_ops.hashgrid(coords, resolutions, bw, 0, cb, first, sizes,
+                                 dense_matmul="f32_highest")
+        monkeypatch.setattr(grid_ops, "_DENSE_MM_MAX_ELEMS", 1)  # force the fallback
+        capped = grid_ops.hashgrid(coords, resolutions, bw, 0, cb, first, sizes,
+                                   dense_matmul="f32_highest")
+        gather = grid_ops.hashgrid(coords, resolutions, bw, 0, cb, first, sizes,
+                                   dense_matmul=None)
+        # same algorithm; tolerance covers XLA fusion/reassociation jitter only
+        np.testing.assert_allclose(np.asarray(capped), np.asarray(gather),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(capped), np.asarray(full), atol=1e-5)

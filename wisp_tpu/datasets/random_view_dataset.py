@@ -70,6 +70,15 @@ def render_gt(rays: Rays, num_samples: int = 512, bg_color: float = 1.0):
     return rgb, alpha
 
 
+def _host_device_ctx():
+    """Context manager pinning jax ops to the host CPU backend (no-op if unavailable)."""
+    import contextlib
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
 class RandomViewDataset(MultiviewDataset):
     def __init__(self, num_views: int = 25, height: int = 128, width: int = 128,
                  split: str = "train", fov: float = 30.0, radius: float = 3.2,
@@ -88,6 +97,14 @@ class RandomViewDataset(MultiviewDataset):
         self.data = self.load()
 
     def load_singleprocess(self):
+        # Pin generation to the host CPU backend: camera construction + raygen are a chain
+        # of small eager ops, and on the remote-TPU platform each eager dispatch costs a
+        # 1-6 s tunnel round trip (CLAUDE.md) — 25 views of setup took minutes. The outputs
+        # are host numpy arrays either way; trainers re-stage them onto the TPU.
+        with _host_device_ctx():
+            return self._load_on_host()
+
+    def _load_on_host(self):
         # validation split uses rotated view directions so train/test views differ
         eyes = sample_fib_sphere(self.num_views + (7 if self.split != "train" else 0))
         if self.split != "train":
@@ -146,8 +163,9 @@ class RandomViewDataset(MultiviewDataset):
         acceleration structure for this dataset (the RTMV depth-pointcloud analog)."""
         rng = np.random.default_rng(3)
         pts = rng.uniform(-1.0, 1.0, (num_points * 4, 3)).astype(np.float32)
-        density, _ = scene_density_color(jnp.asarray(pts))
-        keep = np.asarray(density[:, 0]) > threshold
+        with _host_device_ctx():
+            density, _ = jax.jit(scene_density_color)(jnp.asarray(pts))
+            keep = np.asarray(density[:, 0]) > threshold
         return pts[keep][:num_points]
 
     def public_properties(self) -> dict:

@@ -142,6 +142,11 @@ def _lod_features(coords_axes, res: int, codebook_size: int, level_table: jax.Ar
 
 _MM_DTYPES = {"bf16": jnp.bfloat16, "f32": jnp.float32, "f32_highest": jnp.float32}
 
+# Cap on N*res^2 for the dense-matmul interp path (the [N, res^2] weight matrix is ~2 GB
+# bf16 at this cap; beyond it, gathers win on memory). Full-image renders at 2M samples
+# still take the matmul for their smallest LODs and gathers for the rest.
+_DENSE_MM_MAX_ELEMS = 2 ** 30
+
 
 def _axis_weight(c0: jax.Array, frac: jax.Array, width: int, dtype) -> jax.Array:
     """[N, width] linear-interp weight rows with exactly 2 nonzeros (1-f at c0, f at c0+1),
@@ -169,10 +174,16 @@ def _lod_features_dense_matmul(coords_axes, res: int, level_table: jax.Array,
     TPU precision — still bf16 passes), 'f32_highest' (exact, ~2× the bf16 cost).
     """
     dim = len(coords_axes)
+    n = coords_axes[0].shape[0]
+    # The [N, res^2] weight matrix is the matmul's price: at res 80 and N=2M (an
+    # uncompacted full-image render) it is 26 GB and OOMs HBM. Above this sample count
+    # the 8-gather path is the memory-sane choice (fwd-only renders pay ~10 ns/idx).
+    if n * res * res > _DENSE_MM_MAX_ELEMS:
+        codebook_size = level_table.shape[0]
+        return _lod_features(coords_axes, res, codebook_size, level_table)
     dtype = _MM_DTYPES[mode]
     precision = jax.lax.Precision.HIGHEST if mode == "f32_highest" else None
     f_dim = level_table.shape[-1]
-    n = coords_axes[0].shape[0]
 
     c0, frac = [], []
     for a in coords_axes:
