@@ -123,7 +123,14 @@ class NeRFSyntheticDataset(MultiviewDataset):
         return self._assemble(decoded, poses, metadata)
 
     def _assemble(self, decoded, poses, metadata) -> Dict:
-        """Camera/ray assembly shared by both load paths (reference :340-450)."""
+        """Camera/ray assembly shared by both load paths (reference :340-450).
+        Pinned to the host CPU backend — per-view eager raygen over the TPU tunnel costs
+        seconds per op (datasets/utils.py host_device_ctx)."""
+        from wisp_tpu.datasets.utils import host_device_ctx
+        with host_device_ctx():
+            return self._assemble_on_host(decoded, poses, metadata)
+
+    def _assemble_on_host(self, decoded, poses, metadata) -> Dict:
         from wisp_tpu.core.camera import blender_coords
         from wisp_tpu.ops.raygen.raygen import generate_pinhole_rays
         imgs = [d[0] for d in decoded]

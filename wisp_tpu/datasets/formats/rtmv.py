@@ -69,6 +69,13 @@ class RTMVDataset(MultiviewDataset):
         return frames[n_train + n_val:]
 
     def load_singleprocess(self):
+        # Host-pinned: eager per-frame raygen/srgb ops over the TPU tunnel cost seconds
+        # per op (datasets/utils.py host_device_ctx).
+        from wisp_tpu.datasets.utils import host_device_ctx
+        with host_device_ctx():
+            return self._load_on_host()
+
+    def _load_on_host(self):
         from wisp_tpu.ops.image.processing import linear_to_srgb, resize_mip
         from wisp_tpu.ops.raygen.raygen import generate_pinhole_rays
 

@@ -70,13 +70,7 @@ def render_gt(rays: Rays, num_samples: int = 512, bg_color: float = 1.0):
     return rgb, alpha
 
 
-def _host_device_ctx():
-    """Context manager pinning jax ops to the host CPU backend (no-op if unavailable)."""
-    import contextlib
-    try:
-        return jax.default_device(jax.local_devices(backend="cpu")[0])
-    except RuntimeError:
-        return contextlib.nullcontext()
+from wisp_tpu.datasets.utils import host_device_ctx as _host_device_ctx
 
 
 class RandomViewDataset(MultiviewDataset):

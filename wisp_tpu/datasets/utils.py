@@ -56,3 +56,18 @@ def load_multiview_dataset(dataset_path: str, dataset_num_workers: int = -1,
 
 def load_sdf_dataset(dataset_path: str, **kwargs) -> SDFDataset:
     return _load_dataset(SDFDataset, dataset_path, **kwargs)
+
+
+def host_device_ctx():
+    """Context manager pinning jax ops to the host CPU backend (no-op if unavailable).
+
+    Dataset assembly (camera construction, per-view raygen) is a chain of small eager ops;
+    on the remote-TPU platform each eager dispatch costs a 1-6 s tunnel round trip, so a
+    100-view load can burn minutes on ops whose outputs are host numpy arrays anyway.
+    """
+    import contextlib
+    import jax
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()

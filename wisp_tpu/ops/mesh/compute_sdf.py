@@ -100,6 +100,15 @@ def compute_sdf(vertices, faces, points, point_chunk: int = 16384,
     which chunks CUDA calls the same way). Host-driven chunking keeps the [P,T] pairwise
     buffers bounded. Two passes over triangle chunks: global min distance, then the
     angle-weighted pseudonormal sign vote."""
+    # Host-pinned: this is dataset preprocessing; the chunk loop interleaves jitted calls
+    # with eager minimum/adds, and each eager dispatch on the remote-TPU platform costs a
+    # 1-6 s tunnel round trip (datasets/utils.py host_device_ctx rationale).
+    from wisp_tpu.datasets.utils import host_device_ctx
+    with host_device_ctx():
+        return _compute_sdf_host(vertices, faces, points, point_chunk, tri_chunk)
+
+
+def _compute_sdf_host(vertices, faces, points, point_chunk, tri_chunk) -> np.ndarray:
     v = np.asarray(vertices, dtype=np.float32)
     f = np.asarray(faces, dtype=np.int32)
     pts = np.asarray(points, dtype=np.float32)
