@@ -165,3 +165,23 @@ class TestPackedRFTracer:
         full = n_rays * n_steps
         assert all(c < full for c in calls), \
             f"grid interpolation ran on uncompacted samples: {calls} (full={full})"
+
+
+class TestCompactionTruncationOrder:
+    def test_truncation_drops_late_steps_not_whole_rays(self):
+        """When the compaction budget is smaller than the valid-sample count, the kept set
+        must be the EARLIEST march steps across all rays (step-major order) — whole-ray
+        truncation renders trailing rays as pure background and inverts their gradients
+        (observed training collapse). Every ray that hits the scene must keep its early
+        samples and produce nonzero alpha even under a starved budget."""
+        pipe = _setup(compaction=0.0)
+        rays = _rays(64)
+        dense = pipe(rays=rays, channels=["rgb", "alpha"])
+        hit = np.asarray(dense.alpha[:, 0]) > 0.05
+
+        starved = pipe.replace(tracer=pipe.tracer.replace(compaction=0.25))
+        rb = starved(rays=rays, channels=["rgb", "alpha"])
+        alpha = np.asarray(rb.alpha[:, 0])
+        # all scene-hitting rays keep early samples -> nonzero alpha for every one of them
+        assert (alpha[hit] > 0.0).all(), \
+            f"{(alpha[hit] <= 0).sum()} of {hit.sum()} hitting rays lost all samples"

@@ -115,7 +115,15 @@ class PackedRFTracer(BaseTracer):
             budget = int(np.ceil(n * s * float(compaction) / 128.0)) * 128
             budget = min(budget, n * s)
             from wisp_tpu.ops.compaction import masked_compact_indices
-            idx = masked_compact_indices(mask, budget)  # scatter-free nonzero(size=budget)
+            # Compaction runs in STEP-major order (mask transposed): if the valid count
+            # ever exceeds the budget, what gets dropped is the latest march steps across
+            # all rays (usually occluded, low-transmittance) instead of every sample of
+            # the trailing rays — whole-ray truncation renders those rays as background
+            # and poisons training with inverted gradients (observed: a single-view
+            # budget shrink at epoch ~44 collapsed 41 dB -> 21 dB).
+            idx_t = masked_compact_indices(mask.T, budget)  # indices into [S, R] layout
+            idx = jnp.where(idx_t < n * s,
+                            (idx_t % n) * s + (idx_t // n), n * s)
             cflat = jnp.take(flat, jnp.minimum(idx, n * s - 1), axis=0)
             cray_d = jnp.take(ray_d, jnp.minimum(idx, n * s - 1), axis=0)
             out = nef(channels=req_channels, coords=cflat, ray_d=cray_d,

@@ -54,6 +54,9 @@ class ConfigMultiviewTrainer(ConfigBaseTrainer):
 
 
 class MultiviewTrainer(BaseTrainer):
+    # compaction shrink decisions use the max valid fraction over this many recent steps
+    FRAC_WINDOW_STEPS = 32
+
     def __init__(self, cfg: ConfigMultiviewTrainer, pipeline, train_dataset,
                  validation_dataset=None, tracker=None, scene_state=None, device=None,
                  mesh=None):
@@ -62,6 +65,9 @@ class MultiviewTrainer(BaseTrainer):
         self.validation_dataset = validation_dataset
         self.scene_state.graph.cameras = dict(train_dataset.cameras)
         self._prev_num_samples = None
+        # trailing valid-fraction window for compaction shrink decisions (see
+        # calc_adaptive_compaction — single-step shrink caused training collapse)
+        self._frac_window = []
 
     def pre_training(self):
         super().pre_training()
@@ -113,13 +119,28 @@ class MultiviewTrainer(BaseTrainer):
         current = tracer.compaction or 0.0
         total = max(num_rays_in_batch, 1) * tracer.num_steps
         frac = self._prev_num_samples / total
+        # Valid fraction varies per VIEW; sizing the budget off a single step's fraction
+        # shrank into that variance and truncated subsequent steps (collapse observed at
+        # epoch ~44: 41 dB -> 21 dB). Growth stays immediate (driven by the current step);
+        # shrinking keys off the max fraction over a trailing window of steps.
+        self._frac_window.append(frac)
+        if len(self._frac_window) > self.FRAC_WINDOW_STEPS:
+            self._frac_window.pop(0)
+        frac_hi = max(self._frac_window)
         budget = min(1.0, 2.0 ** math.ceil(math.log2(max(frac * 1.5, 1.0 / 512))))
-        if budget > current + 1e-9 or budget < current / 2 - 1e-9:
-            log.info(f"adaptive compaction: budget {current:.4f} -> {budget:.4f} "
-                     f"(valid fraction {frac:.4f})")
-            pipeline = self.sync_pipeline()
-            self.refresh_pipeline(
-                pipeline.replace(tracer=tracer.replace(compaction=budget)))
+        shrink_to = min(1.0, 2.0 ** math.ceil(math.log2(max(frac_hi * 1.5, 1.0 / 512))))
+        if budget > current + 1e-9:
+            new_budget, why = budget, frac
+        elif len(self._frac_window) >= self.FRAC_WINDOW_STEPS \
+                and shrink_to < current / 2 - 1e-9:
+            new_budget, why = shrink_to, frac_hi
+        else:
+            return
+        log.info(f"adaptive compaction: budget {current:.4f} -> {new_budget:.4f} "
+                 f"(valid fraction {why:.4f})")
+        pipeline = self.sync_pipeline()
+        self.refresh_pipeline(
+            pipeline.replace(tracer=tracer.replace(compaction=new_budget)))
 
     def compute_loss(self, pipeline, batch, key):
         rays, img_gts, step_idx = batch
