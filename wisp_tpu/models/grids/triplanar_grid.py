@@ -41,10 +41,15 @@ def bilinear_sample(plane, u, v):
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    p00 = plane[y0, x0]
-    p01 = plane[y0, x1]
-    p10 = plane[y1, x0]
-    p11 = plane[y1, x1]
+    # row gathers on the flattened plane via gather_rows: its custom backward scatters
+    # per feature column (~5x faster than the windowed row scatter JAX's gather
+    # transpose emits on TPU — see ops/grid.py)
+    from wisp_tpu.ops.grid import gather_rows
+    flat = plane.reshape(h * w, plane.shape[-1])
+    p00 = gather_rows(flat, (y0 * w + x0).reshape(-1)).reshape(*x0.shape, -1)
+    p01 = gather_rows(flat, (y0 * w + x1).reshape(-1)).reshape(*x0.shape, -1)
+    p10 = gather_rows(flat, (y1 * w + x0).reshape(-1)).reshape(*x0.shape, -1)
+    p11 = gather_rows(flat, (y1 * w + x1).reshape(-1)).reshape(*x0.shape, -1)
     return (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
             + p10 * (1 - fx) * fy + p11 * fx * fy)
 
