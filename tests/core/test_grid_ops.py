@@ -324,7 +324,8 @@ class TestGatherRows:
 class TestMaskedCompactIndices:
     def test_matches_nonzero(self, rng):
         from wisp_tpu.ops.compaction import masked_compact_indices
-        for r, s, p in [(16, 32, 0.1), (8, 8, 0.9), (64, 17, 0.02)]:
+        for r, s, p in [(16, 32, 0.1), (8, 8, 0.9), (64, 17, 0.02),
+                        (8, 300, 0.3), (3, 1000, 0.9), (16, 129, 0.05)]:
             mask = rng.random((r, s)) < p
             for budget in (8, 64, r * s):
                 got = np.asarray(masked_compact_indices(jnp.asarray(mask), budget))
