@@ -185,3 +185,24 @@ class TestCompactionTruncationOrder:
         # all scene-hitting rays keep early samples -> nonzero alpha for every one of them
         assert (alpha[hit] > 0.0).all(), \
             f"{(alpha[hit] <= 0).sum()} of {hit.sum()} hitting rays lost all samples"
+
+
+class TestPruneDensityField:
+    def test_cell_density_carries_fresh_density_not_inflated_occupancy(self):
+        """The prune keep-score is max(density, occupancy*2.956) (reference semantics,
+        nerf.py:175-212) and inflates ~2.956^k over k prunes. The blas cell-density field
+        that powers transmittance early termination must carry the FRESH re-queried
+        density instead — feeding it the inflated score culled every sample behind the
+        first occupied cell by prune ~10 (measured 50-epoch collapse, 40 dB -> 20 dB)."""
+        pipe = _setup()
+        nef = pipe.nef
+        maxima = []
+        for i in range(4):
+            nef = nef.prune(key=jax.random.PRNGKey(i))
+            cd = np.asarray(nef.grid.blas.cell_density)
+            kept = cd[cd >= 0.0]
+            assert kept.size > 0, "prune removed every cell"
+            maxima.append(float(kept.max()))
+        # fresh density of a fixed (untrained) nef is stable across prunes; the inflated
+        # occupancy score would grow ~2.956x per prune
+        assert maxima[-1] < maxima[0] * 2.0, f"density field inflating: {maxima}"

@@ -198,13 +198,18 @@ class NeuralRadianceField(BaseNeuralField):
         mask = occupancy > self.prune_min_density
 
         # rewrite the bitfield: tracked cells get their new state, everything else stays off.
-        # The fused cell-density field gets the fresh EMA (instant-ngp's density grid) so
-        # marchers hand tracers a per-sample density estimate for early termination.
+        # The fused cell-density field powers the tracers' transmittance early-termination
+        # estimate and MUST carry the fresh re-queried density (instant-ngp's density
+        # grid), NOT `occupancy`: the reference's keep-score update is
+        # max(density, occupancy*2.956), which INFLATES ~2.956^k over k prunes — feeding
+        # that into tau-hat made the estimate cull everything behind the first occupied
+        # cell by prune ~10 and collapsed a 50-epoch run 40 dB -> 20 dB (semi-transparent
+        # scenes need interior samples).
         flat = (cell_coords[:, 0].astype(jnp.int32) * res
                 + cell_coords[:, 1]) * res + cell_coords[:, 2]
         bitfield = jnp.zeros((res ** 3,), bool).at[flat].set(mask)
         dens_field = jnp.full((res ** 3,), -1.0, jnp.float32).at[flat].set(
-            jnp.where(mask, occupancy, -1.0))
+            jnp.where(mask, density[:, 0], -1.0))
         new_blas = grid.blas.update_occupancy(bitfield, cell_density=dens_field)
         new_grid = grid.replace(occupancy=occupancy, blas=new_blas)
         return self.replace(grid=new_grid)
