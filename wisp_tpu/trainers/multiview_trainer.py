@@ -68,6 +68,7 @@ class MultiviewTrainer(BaseTrainer):
         # trailing valid-fraction window for compaction shrink decisions (see
         # calc_adaptive_compaction — single-step shrink caused training collapse)
         self._frac_window = []
+        self._steps_since_retune = 0
 
     def pre_training(self):
         super().pre_training()
@@ -122,20 +123,25 @@ class MultiviewTrainer(BaseTrainer):
         # Valid fraction varies per VIEW; sizing the budget off a single step's fraction
         # shrank into that variance and truncated subsequent steps (collapse observed at
         # epoch ~44: 41 dB -> 21 dB). Growth stays immediate (driven by the current step);
-        # shrinking keys off the max fraction over a trailing window of steps.
+        # shrinking keys off the max fraction over a trailing window of steps and is
+        # rate-limited to one retune per window — a 50-epoch run otherwise sat at 4x the
+        # needed budget because the old rule demanded a two-bucket drop.
         self._frac_window.append(frac)
         if len(self._frac_window) > self.FRAC_WINDOW_STEPS:
             self._frac_window.pop(0)
+        self._steps_since_retune += 1
         frac_hi = max(self._frac_window)
         budget = min(1.0, 2.0 ** math.ceil(math.log2(max(frac * 1.5, 1.0 / 512))))
         shrink_to = min(1.0, 2.0 ** math.ceil(math.log2(max(frac_hi * 1.5, 1.0 / 512))))
         if budget > current + 1e-9:
             new_budget, why = budget, frac
         elif len(self._frac_window) >= self.FRAC_WINDOW_STEPS \
-                and shrink_to < current / 2 - 1e-9:
+                and self._steps_since_retune >= self.FRAC_WINDOW_STEPS \
+                and shrink_to < current - 1e-9:
             new_budget, why = shrink_to, frac_hi
         else:
             return
+        self._steps_since_retune = 0
         log.info(f"adaptive compaction: budget {current:.4f} -> {new_budget:.4f} "
                  f"(valid fraction {why:.4f})")
         pipeline = self.sync_pipeline()
