@@ -29,19 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_MESH=N runs the data-parallel step over an N-device mesh. With fewer real devices
 # (the usual case: one tunneled TPU chip) an N-device virtual CPU platform is forced —
 # this measures ORCHESTRATION/dp-correctness, not hardware perf; real scaling numbers need
-# N chips. Must happen before jax initializes.
+# N chips. Must happen before jax initializes (shared recipe: __graft_entry__).
 BENCH_MESH = int(os.environ.get("BENCH_MESH", 0) or 0)
 if BENCH_MESH > 1:
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={BENCH_MESH}").strip()
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    from __graft_entry__ import _force_virtual_cpu_devices
+    _force_virtual_cpu_devices(BENCH_MESH)
 
 import jax
-
-if BENCH_MESH > 1:
-    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np

@@ -78,13 +78,18 @@ class CodebookOctreeGrid(OctreeGrid):
         if self.baked:
             keys_idx = feats[idx].astype(jnp.int32)
             return dictionary[keys_idx]
-        logits = feats[idx]                                 # [..., dict_size]
         if self.training:
-            y_soft = jax.nn.softmax(logits, axis=-1)
-            index = jnp.argmax(y_soft, axis=-1)
-            y_hard = jax.nn.one_hot(index, self.dictionary_size, dtype=logits.dtype)
-            st_keys = y_hard - jax.lax.stop_gradient(y_soft) + y_soft
-            return st_keys @ dictionary                      # MXU matmul
+            # rematerialized: softmax/one-hot intermediates are [N, 8, dict_size] each —
+            # recomputing them in backward halves the dominant memory term
+            def st_lookup(feats_, dictionary_):
+                logits = feats_[idx]                        # [..., dict_size]
+                y_soft = jax.nn.softmax(logits, axis=-1)
+                index = jnp.argmax(y_soft, axis=-1)
+                y_hard = jax.nn.one_hot(index, self.dictionary_size, dtype=logits.dtype)
+                st_keys = y_hard - jax.lax.stop_gradient(y_soft) + y_soft
+                return st_keys @ dictionary_                 # MXU matmul
+            return jax.checkpoint(st_lookup)(feats, dictionary)
+        logits = feats[idx]                                 # [..., dict_size]
         keys_idx = jnp.argmax(logits, axis=-1)
         return dictionary[keys_idx]
 

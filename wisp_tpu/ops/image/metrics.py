@@ -96,6 +96,7 @@ _SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
 _lpips_weights = None
 _lpips_tried = False
 _lpips_fn = None
+_lpips_jw = None  # device-staged weights (uploaded once)
 
 
 def _load_lpips_weights():
@@ -120,8 +121,8 @@ def lpips_available() -> bool:
 
 def reset_lpips_cache():
     """Re-probe WISP_LPIPS_WEIGHTS on next call (test hook)."""
-    global _lpips_weights, _lpips_tried, _lpips_fn
-    _lpips_weights, _lpips_tried, _lpips_fn = None, False, None
+    global _lpips_weights, _lpips_tried, _lpips_fn, _lpips_jw
+    _lpips_weights, _lpips_tried, _lpips_fn, _lpips_jw = None, False, None, None
 
 
 def _lpips_forward(weights, a, b):
@@ -170,5 +171,10 @@ def lpips(rgb, gts) -> float:
             "tools/export_lpips_weights.py (or remove 'lpips' from valid_metrics)")
     if _lpips_fn is None:
         _lpips_fn = jax.jit(_lpips_forward)
-    jw = {k: jnp.asarray(v) for k, v in weights.items()}
-    return float(_lpips_fn(jw, jnp.asarray(rgb, jnp.float32), jnp.asarray(gts, jnp.float32)))
+    global _lpips_jw
+    if _lpips_jw is None:
+        # stage the ~58 MB weight dict onto the device ONCE — re-uploading per call cost
+        # seconds per validation image on the tunneled-TPU platform
+        _lpips_jw = {k: jnp.asarray(v) for k, v in weights.items()}
+    return float(_lpips_fn(_lpips_jw, jnp.asarray(rgb, jnp.float32),
+                           jnp.asarray(gts, jnp.float32)))

@@ -86,7 +86,13 @@ def camera_controls(app) -> List[Control]:
                 get=lambda: core.camera.lens, set=set_lens),
         Control("Control mode", "dropdown",
                 options=["turntable", "trackball", "first_person"],
-                get=lambda: type(app.user_mode).__name__, set=set_mode),
+                # registry key, not the class name — set_mode round-trips through
+                # app._make_user_mode's {'turntable': TurntableMode, ...} mapping
+                get=lambda: {"FirstPersonMode": "first_person",
+                             "TrackballMode": "trackball",
+                             "TurntableMode": "turntable"}.get(
+                                 type(app.user_mode).__name__, "turntable"),
+                set=set_mode),
     ]
 
 
@@ -99,8 +105,10 @@ def render_settings_controls(state: WispState) -> List[Control]:
         _dirty(state)
 
     def set_res(h: int):
+        # preserve the canvas's current aspect ratio (square canvases stay square)
+        aspect = (r.canvas_width / r.canvas_height) if r.canvas_height else 1.0
         r.canvas_height = int(h)
-        r.canvas_width = int(h) * 16 // 9
+        r.canvas_width = max(1, int(round(int(h) * aspect)))
         _dirty(state)
 
     def set_fps(v: float):

@@ -14,7 +14,7 @@ field, reference :167-170) / rgb = (normal+1)/2 / alpha.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Set
+from typing import Any, Dict, Optional, Set
 
 import jax
 import jax.numpy as jnp
@@ -26,11 +26,13 @@ from wisp_tpu.tracers.base_tracer import BaseTracer
 
 class PackedSDFTracer(BaseTracer):
     def __init__(self, num_steps: int = 1024, step_size: float = 0.8,
-                 min_dis: float = 0.0003, raytrace_capacity: int = 64):
+                 min_dis: float = 0.0003, raytrace_capacity: Optional[int] = None):
         super().__init__()
         self.num_steps = num_steps
         self.step_size = step_size
         self.min_dis = min_dis
+        # per-ray occupied-interval buffer cap; None = the blas's level-scaled exact
+        # bound (octree_as.raytrace), an int pins the buffer (memory/speed trade)
         self.raytrace_capacity = raytrace_capacity
 
     def get_supported_channels(self) -> Set[str]:
@@ -47,7 +49,11 @@ class PackedSDFTracer(BaseTracer):
             else None
 
         # Ray/occupied-cell intervals at the traced level (sorted along the ray).
-        rt = nef.grid.raytrace(rays, level=level, with_exit=True)
+        # capacity only forwarded when pinned — custom grids (and the reference API) don't
+        # all accept it; None means the blas's level-scaled default
+        cap_kw = {} if self.raytrace_capacity is None \
+            else {"capacity": self.raytrace_capacity}
+        rt = nef.grid.raytrace(rays, level=level, with_exit=True, **cap_kw)
         t_entry, t_exit, imask = rt.t_entry, rt.t_exit, rt.mask      # [R, K]
         num_ints = jnp.sum(imask, axis=-1)                           # [R]
         has_any = num_ints > 0
