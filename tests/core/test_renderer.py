@@ -300,3 +300,24 @@ class TestEditableControls:
                                                         "..", "..")))
         from examples.notebook.live_training_panels import main as demo_main
         demo_main()
+
+    def test_every_control_roundtrips_get_set(self):
+        """Property test over ALL panels: each non-button control's current get() value
+        must be a valid input to its own set() (no crash, state stays consistent), and a
+        dropdown's get() must be one of its declared options. Catches get/set
+        representation mismatches (a 'Control mode' get() once returned the class name
+        while set() expected the registry key -> KeyError on round-trip)."""
+        from wisp_tpu.renderer.gui.controls import all_panels
+        app = self._app()
+        app.wisp_state.renderer.available_canvas_channels = ["rgb", "depth"]
+        for panel, ctrls in all_panels(app).items():
+            for c in ctrls:
+                if c.kind == "button" or c.get is None or c.set is None:
+                    continue
+                v = c.get()
+                if c.kind == "dropdown":
+                    assert v in list(c.options), \
+                        f"{panel}/{c.name}: get()={v!r} not in options {c.options}"
+                c.set(v)  # must not raise
+                if c.kind == "dropdown":
+                    assert c.get() == v, f"{panel}/{c.name}: set(get()) changed the value"
