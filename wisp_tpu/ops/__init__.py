@@ -1,1 +1,2 @@
-from wisp_tpu.ops import grid, geometric, differential, spc, image, mesh, sdf, raygen, shaders, pointcloud
+from wisp_tpu.ops import (compaction, differential, geometric, grid, image, mesh,
+                          pointcloud, raygen, sdf, shaders, spc)
