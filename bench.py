@@ -55,6 +55,7 @@ def main():
                                                      MultiviewTrainer)
     from wisp_tpu.trainers.tracker import ConfigTracker, Tracker
 
+    bench_cold = os.environ.get("BENCH_COLD", "1") == "1"
     num_rays = int(os.environ.get("BENCH_RAYS", 4096))
     num_steps = int(os.environ.get("BENCH_STEPS", 512))
     iters = int(os.environ.get("BENCH_ITERS", 20))
@@ -76,7 +77,8 @@ def main():
         pts = rng0.uniform(-1.0, 1.0, (400000, 3)).astype(np.float32)
         dens, _ = scene_density_color(jnp.asarray(pts))
         pc = pts[np.asarray(dens[:, 0]) > 1.0]
-        blas = OctreeAS.from_pointcloud(pc, 7, dilate=1)
+        blas_cold = OctreeAS.from_pointcloud(pc, 7, dilate=1)
+        blas = blas_cold
         if early_stop > 0.0:
             # warm density EMA at cell centers (what prune() maintains in steady state) so
             # transmittance early termination is active from the first bench step
@@ -89,42 +91,13 @@ def main():
             field = jnp.full((res ** 3,), -1.0, jnp.float32).at[flat].set(cell_dens[:, 0])
             blas = blas.update_occupancy(blas.occ_grid, cell_density=field)
     else:
-        blas = OctreeAS.make_dense(7)
-    grid = HashGrid.from_geometric(blas=blas, feature_dim=2, num_lods=num_lods,
-                                   multiscale_type="cat", feature_std=1e-9,
-                                   codebook_bitwidth=bitwidth, min_grid_res=16,
-                                   max_grid_res=512, dense_lod_matmul=dense_matmul,
-                                   key=jax.random.PRNGKey(1))
-    nef = NeuralRadianceField(grid=grid, view_embedder="positional", view_multires=4,
-                              hidden_dim=64, num_layers=1, bias=True,
-                              key=jax.random.PRNGKey(2))
-    tracer = PackedRFTracer(raymarch_type="ray", num_steps=num_steps,
-                            bg_color=(0.0, 0.0, 0.0), compaction=compaction,
-                            early_stop=early_stop,
-                            lod_spacing_scale=lod_spacing_scale)
-    pipeline = Pipeline(nef=nef, tracer=tracer)
+        blas_cold = OctreeAS.make_dense(7)
+        blas = blas_cold
 
-    cfg = ConfigMultiviewTrainer(
-        optimizer=ConfigAdamW(lr=1e-3, eps=1e-15, weight_decay=1e-6),
-        grid_lr_weight=500.0, rgb_loss_type="huber", max_epochs=1,
-        prune_every=-1, render_every=-1, valid_every=-1, save_every=-1,
-        exp_name="bench")
-
-    class _BenchDataset:
-        cameras = {}
-
-        def __len__(self):
-            return iters
-
-        transform = None
-
-    tracker = Tracker(ConfigTracker(tensorboard=False, log_dir="/tmp/wisp_bench"), "bench")
     mesh = None
     if BENCH_MESH > 1:
         from wisp_tpu.parallel import make_mesh
         mesh = make_mesh(BENCH_MESH)
-    trainer = MultiviewTrainer(cfg=cfg, pipeline=pipeline, train_dataset=_BenchDataset(),
-                               tracker=tracker, mesh=mesh)
 
     rng = np.random.default_rng(0)
     eye = np.asarray([0.0, 0.0, -3.0], np.float32)
@@ -134,30 +107,78 @@ def main():
     origins = np.broadcast_to(eye, (num_rays, 3)).copy()
     gts = rng.random((num_rays, 3)).astype(np.float32)
 
-    rays = Rays(jnp.asarray(origins), jnp.asarray(dirs), 0.0, 6.0)
-    batch = (rays, jnp.asarray(gts), jnp.asarray(0, jnp.int32))
-    if mesh is not None:
-        from wisp_tpu.parallel import global_batch_from_local
-        batch = global_batch_from_local(batch, mesh)
+    def build_and_time(blas_in, compaction_in, early_stop_in):
+        """Build the flagship pipeline on ``blas_in`` and time ``iters`` full train steps.
+        Returns (rays/s, compile_s, loss, aux)."""
+        grid = HashGrid.from_geometric(blas=blas_in, feature_dim=2, num_lods=num_lods,
+                                       multiscale_type="cat", feature_std=1e-9,
+                                       codebook_bitwidth=bitwidth, min_grid_res=16,
+                                       max_grid_res=512, dense_lod_matmul=dense_matmul,
+                                       key=jax.random.PRNGKey(1))
+        nef = NeuralRadianceField(grid=grid, view_embedder="positional", view_multires=4,
+                                  hidden_dim=64, num_layers=1, bias=True,
+                                  key=jax.random.PRNGKey(2))
+        tracer = PackedRFTracer(raymarch_type="ray", num_steps=num_steps,
+                                bg_color=(0.0, 0.0, 0.0), compaction=compaction_in,
+                                early_stop=early_stop_in,
+                                lod_spacing_scale=lod_spacing_scale)
+        pipeline = Pipeline(nef=nef, tracer=tracer)
 
-    # warmup (compile). NOTE: block_until_ready does NOT synchronize on this remote
-    # platform; fetching a scalar derived from the result is the only hard sync.
-    t_c = time.perf_counter()
-    trainer._step_fn = trainer._build_step()
-    loss, aux = trainer.run_step(batch)
-    _ = float(loss)
-    compile_s = time.perf_counter() - t_c
-    for _ in range(2):
+        cfg = ConfigMultiviewTrainer(
+            optimizer=ConfigAdamW(lr=1e-3, eps=1e-15, weight_decay=1e-6),
+            grid_lr_weight=500.0, rgb_loss_type="huber", max_epochs=1,
+            prune_every=-1, render_every=-1, valid_every=-1, save_every=-1,
+            exp_name="bench")
+
+        class _BenchDataset:
+            cameras = {}
+
+            def __len__(self):
+                return iters
+
+            transform = None
+
+        tracker = Tracker(ConfigTracker(tensorboard=False, log_dir="/tmp/wisp_bench"),
+                          "bench")
+        trainer = MultiviewTrainer(cfg=cfg, pipeline=pipeline,
+                                   train_dataset=_BenchDataset(),
+                                   tracker=tracker, mesh=mesh)
+
+        rays = Rays(jnp.asarray(origins), jnp.asarray(dirs), 0.0, 6.0)
+        batch = (rays, jnp.asarray(gts), jnp.asarray(0, jnp.int32))
+        if mesh is not None:
+            from wisp_tpu.parallel import global_batch_from_local
+            batch = global_batch_from_local(batch, mesh)
+
+        # warmup (compile). NOTE: block_until_ready does NOT synchronize on this remote
+        # platform; fetching a scalar derived from the result is the only hard sync.
+        t_c = time.perf_counter()
+        trainer._step_fn = trainer._build_step()
         loss, aux = trainer.run_step(batch)
-    _ = float(loss)
+        _ = float(loss)
+        compile_s = time.perf_counter() - t_c
+        for _ in range(2):
+            loss, aux = trainer.run_step(batch)
+        _ = float(loss)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, aux = trainer.run_step(batch)
-    _ = float(loss)  # chain-dependent hard sync
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            loss, aux = trainer.run_step(batch)
+        _ = float(loss)  # chain-dependent hard sync
+        dt = time.perf_counter() - t0
+        return num_rays * iters / dt, compile_s, loss, aux, dt
 
-    rays_per_sec = num_rays * iters / dt
+    rays_per_sec, compile_s, loss, aux, dt = build_and_time(blas, compaction, early_stop)
+
+    # Cold-start companion number (VERDICT r2 #9): the un-warmed regime a fresh training
+    # run starts in — density EMA at 0 (early termination inert until the first prune) and
+    # the conservative pre-steady-state compaction budget the trainer's adaptive loop
+    # starts from. The headline stays the steady-state number (the regime the trainer is
+    # in for most of a run); this rides along so the artifact is self-describing.
+    cold_rays_per_sec = None
+    if bench_cold and sparse and mesh is None:
+        cold_rays_per_sec, _, _, _, _ = build_and_time(
+            blas_cold, max(compaction, 0.0625) if compaction else 0.0, early_stop)
     result = {
         "metric": f"dp_step_rays_per_sec_mesh{BENCH_MESH}_cpu_orchestration_only"
                   if mesh is not None else "train_rays_per_sec_per_chip",
@@ -174,6 +195,8 @@ def main():
             "valid_sample_frac": round(float(aux.get("num_valid_samples", 0.0))
                                        / (num_rays * num_steps), 4),
             "samples_per_sec": round(num_rays * num_steps * iters / dt, 1),
+            "cold_start_rays_per_sec": round(cold_rays_per_sec, 1)
+            if cold_rays_per_sec else None,
             "device": str(jax.devices()[0]),
             "final_loss": float(loss),
         },

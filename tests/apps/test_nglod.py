@@ -93,6 +93,10 @@ def test_sdf_sphere_tracer_renders():
     # central ray depth ≈ 3 - 0.5 = 2.5
     center = np.argmin(np.abs(ys))
     assert abs(depth[center] - 2.5) < 0.02
+    # raytrace overflow is surfaced as a debug channel (VERDICT r2 #6): level-4 default
+    # capacity covers the exact DDA bound, so no ray may overflow here
+    assert "num_overflow" in rb.channels
+    assert float(rb.num_overflow) == 0.0
     # normals at hit points point outward (towards -z for front hits)
     normal = np.asarray(rb.normal)[center]
     assert normal[2] < -0.9

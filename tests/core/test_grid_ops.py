@@ -322,6 +322,7 @@ class TestGatherRows:
 
 
 class TestMaskedCompactIndices:
+    @pytest.mark.full  # compile-heavy: keeps the smoke gate under its <3 min promise
     def test_matches_nonzero(self, rng):
         from wisp_tpu.ops.compaction import masked_compact_indices
         for r, s, p in [(16, 32, 0.1), (8, 8, 0.9), (64, 17, 0.02),

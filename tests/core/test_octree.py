@@ -160,6 +160,23 @@ class TestRaytrace:
         assert bool(np.asarray(tiny.overflow)[0])
         assert int(np.asarray(tiny.mask).sum()) == 16
 
+    def test_level7_grazing_ray_default_capacity_no_drop(self):
+        """At level 7 the exact DDA bound is 3·128+2 = 386, which the old default capacity
+        of 256 silently truncated (ADVICE r2). The new default (min(3·res+2, 512)) must
+        capture every crossed cell with no overflow (VERDICT r2 #6)."""
+        level = 7
+        blas = OctreeAS.make_dense(level)
+        eps = 1e-3
+        d = np.asarray([1.0, 0.97, 0.93])
+        rays = Rays(origins=jnp.asarray([[-1.0 - eps, -1.0 + eps, -1.0 + eps]]),
+                    dirs=jnp.asarray([d / np.linalg.norm(d)]),
+                    dist_min=0.0, dist_max=10.0)
+        out = blas.raytrace(rays, level=level)
+        n = int(np.asarray(out.mask).sum())
+        assert n > 256, f"grazing level-7 ray should cross >256 cells, got {n}"
+        assert not bool(np.asarray(out.overflow)[0]), \
+            "default capacity at level 7 must cover the exact DDA bound"
+
 
 class TestRaymarch:
     def _blas(self):

@@ -292,6 +292,7 @@ class TestEditableControls:
         slider.value = 128
         assert app.wisp_state.graph.neural_pipelines["obj"].tracer.num_steps == 128
 
+    @pytest.mark.full  # compile-heavy: keeps the smoke gate under its <3 min promise
     def test_live_training_panels_example(self):
         """The notebook live-edit demo: training ticks + programmatic control edits +
         frames to disk (examples/notebook/live_training_panels.py)."""

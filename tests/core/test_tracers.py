@@ -37,6 +37,7 @@ def _rays(n=64):
 
 
 class TestPackedRFTracer:
+    @pytest.mark.full  # compile-heavy: keeps the smoke gate under its <3 min promise
     def test_output_channels(self):
         pipe = _setup()
         rb = pipe(rays=_rays(), channels=["rgb", "alpha", "depth", "hit"])
@@ -83,6 +84,7 @@ class TestPackedRFTracer:
         leaves = jax.tree_util.tree_leaves(grads)
         assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
 
+    @pytest.mark.full  # compile-heavy: keeps the smoke gate under its <3 min promise
     def test_extra_channel_integration(self):
         """Extra channels volumetrically integrate (reference packed_rf_tracer.py:167-179);
         uses the latent-nerf example field."""

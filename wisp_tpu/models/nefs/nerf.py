@@ -208,8 +208,20 @@ class NeuralRadianceField(BaseNeuralField):
         flat = (cell_coords[:, 0].astype(jnp.int32) * res
                 + cell_coords[:, 1]) * res + cell_coords[:, 2]
         bitfield = jnp.zeros((res ** 3,), bool).at[flat].set(mask)
+        # Density estimate = decayed running max over prune steps (instant-ngp's density
+        # grid update: max(new, 0.95*old)) rather than the raw single-jittered-point
+        # sample: one noisy low draw in a partially-occupied cell would otherwise
+        # underestimate tau-hat for a whole prune interval (and a high draw over-cull
+        # samples behind it). NOTE prune_density_decay is the reference's KEEP-SCORE
+        # factor (0.01*512/sqrt(3) ≈ 2.956, >1) and must NOT be used here — that is
+        # exactly the 2.956^k inflation collapse mode above. The estimate stays bounded
+        # by the max fresh density ever seen because only `density` and a <1 decay enter.
+        old_dens = grid.blas.cell_density
+        prev = jnp.maximum(old_dens[flat], 0.0) if old_dens is not None \
+            else jnp.zeros_like(density[:, 0])
+        dens_est = jnp.maximum(density[:, 0], 0.95 * prev)
         dens_field = jnp.full((res ** 3,), -1.0, jnp.float32).at[flat].set(
-            jnp.where(mask, density[:, 0], -1.0))
+            jnp.where(mask, dens_est, -1.0))
         new_blas = grid.blas.update_occupancy(bitfield, cell_density=dens_field)
         new_grid = grid.replace(occupancy=occupancy, blas=new_blas)
         return self.replace(grid=new_grid)

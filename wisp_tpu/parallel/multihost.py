@@ -64,20 +64,37 @@ class ProcessShardedDataset:
         return self._dataset[self.local_indices[i]]
 
     def __getattr__(self, name):
-        return getattr(self._dataset, name)
+        # Guard against infinite recursion during unpickling/copy: before __init__ runs,
+        # '_dataset' is absent and a naive delegate would re-enter __getattr__ forever.
+        # Dunder lookups (e.g. __getstate__, __deepcopy__) must also fail fast rather than
+        # delegate, or copy/pickle protocols silently pick up the wrapped dataset's.
+        if name == "_dataset" or (name.startswith("__") and name.endswith("__")):
+            raise AttributeError(name)
+        return getattr(object.__getattribute__(self, "_dataset"), name)
 
 
 def global_batch_from_local(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Assemble global device arrays from this process's LOCAL batch shard.
 
     Arrays whose leading axis is per-process batch data become global arrays sharded on
-    ``axis_name`` (global shape = local_rows * process_count); scalars and indivisible
-    arrays are replicated. With one process this is numerically identical to
-    ``shard_batch`` (the local data IS the global data)."""
+    ``axis_name`` (global shape = local_rows * process_count). Scalars and 0-d leaves are
+    replicated — replicated leaves MUST be identical on every process (each host
+    device_puts its own value; divergent values would silently disagree across hosts).
+
+    Placement is explicit, not heuristic: any leaf with a leading axis ≥ local device
+    count whose leading dim does NOT divide the local device count raises in
+    multi-process runs instead of silently replicating process-local data (which would
+    assemble a 'replicated' global array from divergent per-host shards). Pad the
+    per-host batch to a multiple of the local device count, or reshape the leaf to 0-d/
+    small-leading-dim if it is genuinely replicated metadata.
+
+    With one process this is numerically identical to ``shard_batch`` (the local data IS
+    the global data)."""
     shard = batch_sharding(mesh, axis_name)
     repl = replicated(mesh)
     n_local_dev = len([d for d in mesh.devices.flat if d.process_index
                        == jax.process_index()]) or 1
+    multiprocess = jax.process_count() > 1
 
     def _place(x):
         try:
@@ -86,9 +103,17 @@ def global_batch_from_local(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
             return x
         if arr.dtype == object:
             return x  # non-numeric metadata stays host-side
-        if arr.ndim >= 1 and arr.shape[0] >= n_local_dev \
-                and arr.shape[0] % n_local_dev == 0:
-            return jax.make_array_from_process_local_data(shard, np.asarray(arr))
+        if arr.ndim >= 1 and arr.shape[0] >= n_local_dev:
+            if arr.shape[0] % n_local_dev == 0:
+                return jax.make_array_from_process_local_data(shard, np.asarray(arr))
+            if multiprocess:
+                raise ValueError(
+                    f"global_batch_from_local: leaf with shape {arr.shape} has a leading "
+                    f"dim that is not divisible by the local device count {n_local_dev}; "
+                    f"replicating process-local data across hosts would be silently "
+                    f"inconsistent. Pad the per-host batch to a multiple of "
+                    f"{n_local_dev}, or make the leaf 0-d/small if it is replicated "
+                    f"metadata (identical on every process).")
         return jax.device_put(np.asarray(arr), repl)
 
     return jax.tree_util.tree_map(_place, batch)

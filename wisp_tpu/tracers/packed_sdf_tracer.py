@@ -115,8 +115,13 @@ class PackedSDFTracer(BaseTracer):
             feats = nef(channels=channel, coords=xyz, lod_idx=lod_idx)
             extra_outputs[channel] = jnp.where(hit[:, None], feats, 0.0)
 
+        # Surface interval-buffer saturation (fixed-capacity raytrace can drop occupied
+        # intervals past the cap; the reference's unbounded nuggets cannot): scalar count of
+        # overflowed rays, logged host-side by the offline renderer / trainers.
+        num_overflow = jnp.sum(rt.overflow.astype(jnp.float32)) \
+            if getattr(rt, "overflow", None) is not None else None
         return RenderBuffer(xyz=xyz, depth=depth, hit=hit[:, None], rgb=rgb, alpha=alpha,
-                            normal=normal, **extra_outputs)
+                            normal=normal, num_overflow=num_overflow, **extra_outputs)
 
     def public_properties(self) -> Dict[str, Any]:
         return {"Num steps": self.num_steps, "Step size": self.step_size,

@@ -40,7 +40,12 @@ class PackedSPCTracer(BaseTracer):
         rgb = out["rgb"]
         alpha = out["alpha"] * has_hit[:, None].astype(out["alpha"].dtype)
         depth = jnp.where(has_hit, t_hit, 0.0)[:, None]
-        return RenderBuffer(rgb=rgb, alpha=alpha, depth=depth, hit=has_hit[:, None])
+        # overflow can only drop intervals BEHIND the first hit for this tracer, but surface
+        # it anyway for uniformity (see octree_as.raytrace capacity note)
+        num_overflow = jnp.sum(rt.overflow.astype(jnp.float32)) \
+            if getattr(rt, "overflow", None) is not None else None
+        return RenderBuffer(rgb=rgb, alpha=alpha, depth=depth, hit=has_hit[:, None],
+                            num_overflow=num_overflow)
 
     def public_properties(self) -> Dict[str, Any]:
         return {}

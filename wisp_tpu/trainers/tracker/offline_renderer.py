@@ -50,6 +50,14 @@ class OfflineRenderer:
                      rays.dist_min, rays.dist_max)
             outs.append(jax.device_get(self._infer(pipeline, r)))
         rb = RenderBuffer.cat(outs) if len(outs) > 1 else outs[0]
+        # Surface raytrace interval-buffer saturation (fixed-capacity DDA can drop occupied
+        # intervals; the reference's unbounded nuggets cannot — octree_as.raytrace note).
+        novf = rb.channels.get("num_overflow")
+        if novf is not None and float(novf) > 0:
+            log.warning("raytrace overflow: %d rays saturated the interval buffer and may "
+                        "have dropped occupied cells — raise the blas raytrace capacity "
+                        "(tracer raytrace_capacity / octree_as.raytrace capacity)",
+                        int(float(novf)))
         return self.apply_shading(pipeline, rays, rb)
 
     def apply_shading(self, pipeline, rays: Rays, rb: RenderBuffer) -> RenderBuffer:
