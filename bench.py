@@ -56,6 +56,11 @@ def main():
     from wisp_tpu.trainers.tracker import ConfigTracker, Tracker
 
     bench_cold = os.environ.get("BENCH_COLD", "1") == "1"
+    # BENCH_RAYMARCH=voxel BENCH_STEPS=16 benches the reference's voxel-marching configs
+    # (V8-shape: level-7 sparse blas, 16 samples per intersected voxel — app_nerf.md
+    # octree configs). Default matches the hash-lego 'ray'/512 flagship.
+    raymarch_type = os.environ.get("BENCH_RAYMARCH", "ray")
+    march_budget = int(os.environ.get("BENCH_MARCH_BUDGET", 1024))
     num_rays = int(os.environ.get("BENCH_RAYS", 4096))
     num_steps = int(os.environ.get("BENCH_STEPS", 512))
     iters = int(os.environ.get("BENCH_ITERS", 20))
@@ -118,10 +123,11 @@ def main():
         nef = NeuralRadianceField(grid=grid, view_embedder="positional", view_multires=4,
                                   hidden_dim=64, num_layers=1, bias=True,
                                   key=jax.random.PRNGKey(2))
-        tracer = PackedRFTracer(raymarch_type="ray", num_steps=num_steps,
+        tracer = PackedRFTracer(raymarch_type=raymarch_type, num_steps=num_steps,
                                 bg_color=(0.0, 0.0, 0.0), compaction=compaction_in,
                                 early_stop=early_stop_in,
-                                lod_spacing_scale=lod_spacing_scale)
+                                lod_spacing_scale=lod_spacing_scale,
+                                march_budget=march_budget)
         pipeline = Pipeline(nef=nef, tracer=tracer)
 
         cfg = ConfigMultiviewTrainer(
@@ -168,6 +174,10 @@ def main():
         dt = time.perf_counter() - t0
         return num_rays * iters / dt, compile_s, loss, aux, dt
 
+    # grid-slot count per ray: 'voxel' marches (budget//num_steps) voxels x num_steps
+    samples_per_ray = (march_budget // max(num_steps, 1)) * num_steps \
+        if raymarch_type == "voxel" else num_steps
+
     rays_per_sec, compile_s, loss, aux, dt = build_and_time(blas, compaction, early_stop)
 
     # Cold-start companion number (VERDICT r2 #9): the un-warmed regime a fresh training
@@ -186,6 +196,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),
         "detail": {
+            "raymarch_type": raymarch_type,
             "num_rays": num_rays, "num_steps": num_steps, "iters": iters,
             "wall_s": round(dt, 3),
             "compile_s": round(compile_s, 1),
@@ -193,8 +204,8 @@ def main():
             "early_stop": early_stop, "dense_matmul": dense_matmul,
             "lod_spacing_scale": lod_spacing_scale,
             "valid_sample_frac": round(float(aux.get("num_valid_samples", 0.0))
-                                       / (num_rays * num_steps), 4),
-            "samples_per_sec": round(num_rays * num_steps * iters / dt, 1),
+                                       / (num_rays * samples_per_ray), 4),
+            "samples_per_sec": round(num_rays * samples_per_ray * iters / dt, 1),
             "cold_start_rays_per_sec": round(cold_rays_per_sec, 1)
             if cold_rays_per_sec else None,
             "device": str(jax.devices()[0]),

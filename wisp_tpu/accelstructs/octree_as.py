@@ -302,13 +302,17 @@ class OctreeAS(Module, BaseAS):
 
     # -- raymarch (reference octree_as.py:188-374) ---------------------------------------------
     def raymarch(self, rays: Rays, raymarch_type: str = "voxel", num_samples: int = 64,
-                 level: Optional[int] = None, key=None) -> ASRaymarchResults:
+                 level: Optional[int] = None, key=None,
+                 budget: Optional[int] = None) -> ASRaymarchResults:
+        """``budget`` (voxel mode only): per-ray fine-sample cap; the marcher keeps the
+        first budget//num_samples occupied voxels per ray. Default 1024."""
         if level is None:
             level = self.max_level
         if raymarch_type == "ray":
             return self._raymarch_ray(rays, num_samples, key)
         elif raymarch_type == "voxel":
-            return self._raymarch_voxel(rays, num_samples, level, key)
+            return self._raymarch_voxel(rays, num_samples, level, key,
+                                        budget=budget or 1024)
         elif raymarch_type == "uniform":
             return self._raymarch_uniform(rays, num_samples, key)
         raise ValueError(f"Unknown raymarch_type {raymarch_type!r}")

@@ -168,11 +168,12 @@ class HashGrid(BLASGrid):
                                  self.feature_dim).sum(-2)
         raise NotImplementedError(self.multiscale_type)
 
-    def raymarch(self, rays, raymarch_type, num_samples, level=None, key=None):
+    def raymarch(self, rays, raymarch_type, num_samples, level=None, key=None,
+                 **kwargs):
         """Raymarch over the BLAS's finest level (reference hash_grid.py:235-240)."""
         return self.blas.raymarch(rays, raymarch_type=raymarch_type,
                                   num_samples=num_samples, level=self.blas.max_level,
-                                  key=key)
+                                  key=key, **kwargs)
 
     @classmethod
     def supported_blas(cls):

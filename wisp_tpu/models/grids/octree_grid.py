@@ -136,10 +136,11 @@ class OctreeGrid(BLASGrid):
             return feats.reshape(*output_shape, self.feature_dim)
         return feats.reshape(*output_shape, self.feature_dim * num_feats)
 
-    def raymarch(self, rays, raymarch_type, num_samples, level=None, key=None):
+    def raymarch(self, rays, raymarch_type, num_samples, level=None, key=None,
+                 **kwargs):
         """March at base_lod — the coarsest featured level (reference octree_grid.py:221-226)."""
         return self.blas.raymarch(rays, raymarch_type=raymarch_type,
-                                  num_samples=num_samples, level=self.base_lod, key=key)
+                                  num_samples=num_samples, level=self.base_lod, key=key, **kwargs)
 
     @classmethod
     def supported_blas(cls):

@@ -141,10 +141,11 @@ class TriplanarGrid(BLASGrid):
                 [feats, jnp.zeros((*feats.shape[:-1], pad), feats.dtype)], axis=-1)
         return feats.reshape(*output_shape, self.feature_dim * self.num_lods)
 
-    def raymarch(self, rays, raymarch_type, num_samples, level=None, key=None):
+    def raymarch(self, rays, raymarch_type, num_samples, level=None, key=None,
+                 **kwargs):
         return self.blas.raymarch(rays, raymarch_type=raymarch_type,
                                   num_samples=num_samples, level=self.blas.max_level,
-                                  key=key)
+                                  key=key, **kwargs)
 
     @classmethod
     def supported_blas(cls):

@@ -36,12 +36,17 @@ class PackedRFTracer(BaseTracer):
                  bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
                  compaction: float = 0.0,
                  early_stop: float = 0.0,
-                 lod_spacing_scale: float = 0.0):
+                 lod_spacing_scale: float = 0.0,
+                 march_budget: int = 1024):
         super().__init__(bg_color=bg_color)
         self.raymarch_type = raymarch_type
         self.num_steps = num_steps
         self.step_size = step_size
         self.compaction = compaction
+        # voxel-mode per-ray fine-sample cap: the marcher keeps the first
+        # march_budget//num_steps occupied voxels per ray (reference semantics: ALL
+        # intersected voxels; far voxels past the cap are usually occluded)
+        self.march_budget = march_budget
         # Transmittance early termination (instant-ngp-style): samples whose estimated
         # transmittance (from the blas's per-cell density EMA, refreshed at each prune)
         # falls below this threshold are culled BEFORE interpolation/decoding. 0 = off.
@@ -69,7 +74,7 @@ class PackedRFTracer(BaseTracer):
     def trace(self, nef, rays, channels, extra_channels,
               lod_idx=None, raymarch_type="voxel", num_steps=64, step_size=1.0,
               bg_color=(1.0, 1.0, 1.0), key=None, compaction=None, early_stop=None,
-              lod_spacing_scale=None):
+              lod_spacing_scale=None, march_budget=None):
         assert nef.grid is not None, "this tracer requires a grid"
         n = rays.origins.shape[0]
         if lod_idx is None:
@@ -80,13 +85,26 @@ class PackedRFTracer(BaseTracer):
         max_compute_lod = None
         if lod_spacing_scale and lod_spacing_scale > 0.0 \
                 and hasattr(nef.grid, "resolutions"):
-            delta_est = 2.0 * float(np.sqrt(3)) / num_steps
-            res_cap = 2.0 / (float(lod_spacing_scale) * delta_est)
-            keep = [i for i, r in enumerate(nef.grid.resolutions) if r <= res_cap]
-            max_compute_lod = max(keep) if keep else 0
+            if raymarch_type == "voxel":
+                # voxel mode: num_steps samples per blas voxel -> spacing is
+                # voxel_size/num_steps, NOT span/num_steps (using the ray formula here
+                # would truncate every LOD at the reference's num_steps=16)
+                blas_level = getattr(getattr(nef.grid, "blas", None), "max_level", None)
+                if blas_level is None:
+                    delta_est = None
+                else:
+                    delta_est = (2.0 / (2 ** blas_level)) / num_steps
+            else:
+                delta_est = 2.0 * float(np.sqrt(3)) / num_steps
+            if delta_est is not None:
+                res_cap = 2.0 / (float(lod_spacing_scale) * delta_est)
+                keep = [i for i, r in enumerate(nef.grid.resolutions) if r <= res_cap]
+                max_compute_lod = max(keep) if keep else 0
 
+        march_kw = {"budget": march_budget} if (march_budget and
+                                               raymarch_type == "voxel") else {}
         mr = nef.grid.raymarch(rays, raymarch_type=raymarch_type, num_samples=num_steps,
-                               level=None, key=key)
+                               level=None, key=key, **march_kw)
         samples = mr.samples                       # [R, S, 3]
         deltas = jnp.broadcast_to(mr.deltas, mr.depth_samples.shape)  # [R, S]
         depths = mr.depth_samples                  # [R, S]
