@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # this measures ORCHESTRATION/dp-correctness, not hardware perf; real scaling numbers need
 # N chips. Must happen before jax initializes (shared recipe: __graft_entry__).
 BENCH_MESH = int(os.environ.get("BENCH_MESH", 0) or 0)
-if BENCH_MESH > 1:
+if BENCH_MESH >= 1:
+    # BENCH_MESH=1 forces a single virtual CPU device WITHOUT a mesh — the per-device
+    # compute baseline the dp scaling curve divides by (tools/dp_scaling.py).
     from __graft_entry__ import _force_virtual_cpu_devices
     _force_virtual_cpu_devices(BENCH_MESH)
 
@@ -191,7 +193,9 @@ def main():
             blas_cold, max(compaction, 0.0625) if compaction else 0.0, early_stop)
     result = {
         "metric": f"dp_step_rays_per_sec_mesh{BENCH_MESH}_cpu_orchestration_only"
-                  if mesh is not None else "train_rays_per_sec_per_chip",
+                  if mesh is not None
+                  else ("cpu_single_device_rays_per_sec" if BENCH_MESH == 1
+                        else "train_rays_per_sec_per_chip"),
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),

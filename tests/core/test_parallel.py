@@ -64,30 +64,81 @@ class TestDataParallel:
         assert sharded[0].origins.sharding.is_fully_replicated is False
         assert sharded[2].sharding.is_fully_replicated  # scalar replicated
 
-    def test_dp_step_matches_single_device(self, trainer_and_batch):
-        """Gradients all-reduce correctly: a sharded step must produce the same loss and
-        parameter update as the unsharded one."""
+    def test_dp_step_matches_per_shard_reference(self, trainer_and_batch):
+        """The shard_map dp step must equal an explicit per-shard computation: split the
+        batch into 8 shards, run loss+grad per shard with the fold_in(key, shard) rng the
+        dp step uses, average, and apply the same optimizer update. This verifies the
+        collective math (pmean of losses/grads) end to end."""
+        from wisp_tpu.core import Rays
+        import optax
         trainer, batch, mesh = trainer_and_batch
         trainer._step_fn = trainer._build_step()
+        key = jax.random.PRNGKey(42)
+        n = mesh.devices.size
+        rays, gts, step_idx = batch
+        b = rays.origins.shape[0] // n
 
-        # single-device result
+        # explicit per-shard reference (single-device math, no mesh machinery)
         diff0 = {k: jnp.array(v) for k, v in trainer._diff.items()}
         opt0 = jax.tree_util.tree_map(jnp.array, trainer.opt_state)
-        d1, o1, loss1, _ = trainer._step_fn(diff0, opt0, trainer._nondiff, batch,
-                                            jax.random.PRNGKey(42))
+        spec = trainer._spec
+        nondiff = trainer._nondiff
 
-        # sharded result (params replicated, batch split)
+        def inner(d, shard_batch_, k):
+            return trainer.compute_loss(spec.unflatten(d, nondiff), shard_batch_, k)
+
+        vag = jax.jit(jax.value_and_grad(inner, has_aux=True))
+        losses, grads_list = [], []
+        for i in range(n):
+            sl = slice(i * b, (i + 1) * b)
+            shard = (Rays(rays.origins[sl], rays.dirs[sl], rays.dist_min, rays.dist_max),
+                     gts[sl], step_idx)
+            (loss_i, _), g_i = vag(diff0, shard, jax.random.fold_in(key, i))
+            losses.append(loss_i)
+            grads_list.append(g_i)
+        loss_ref = jnp.mean(jnp.stack(losses))
+        grads_ref = jax.tree_util.tree_map(
+            lambda *gs: jnp.mean(jnp.stack(gs), axis=0), *grads_list)
+        updates, _ = trainer.optimizer.update(grads_ref, opt0, diff0)
+        d_ref = optax.apply_updates(diff0, updates)
+
+        # shard_map dp step (params replicated, batch split)
         diff_r = replicate_tree({k: jnp.array(v) for k, v in trainer._diff.items()}, mesh)
         opt_r = replicate_tree(jax.tree_util.tree_map(jnp.array, trainer.opt_state), mesh)
         nd_r = replicate_tree(dict(trainer._nondiff), mesh)
         b_r = shard_batch(batch, mesh)
-        d2, o2, loss2, _ = trainer._step_fn(diff_r, opt_r, nd_r, b_r,
-                                            jax.random.PRNGKey(42))
+        d2, o2, loss2, _ = trainer._step_fn(diff_r, opt_r, nd_r, b_r, key)
 
-        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
-        for k in d1:
-            np.testing.assert_allclose(np.asarray(d1[k]), np.asarray(d2[k]),
+        np.testing.assert_allclose(float(loss_ref), float(loss2), rtol=1e-5)
+        for k in d_ref:
+            np.testing.assert_allclose(np.asarray(d_ref[k]), np.asarray(d2[k]),
                                        rtol=2e-4, atol=2e-6)
+
+    def test_dp_step_collectives_are_gradient_only(self, trainer_and_batch):
+        """HLO audit: the compiled dp step's ONLY cross-chip collectives are all-reduces
+        (the gradient/loss pmeans). No all-gather / all-to-all / collective-permute — in
+        particular the compaction stage must not trigger a global sample all-gather (the
+        round-2 global-view step did exactly that; parallel/data_parallel.py docstring)."""
+        trainer, batch, mesh = trainer_and_batch
+        # compaction ON so the audit covers the stage that used to break pure dp
+        pipe = trainer.pipeline
+        trainer.pipeline = pipe.replace(tracer=pipe.tracer.replace(compaction=0.25))
+        try:
+            step_fn = trainer._build_step()
+            diff_r = replicate_tree({k: jnp.array(v) for k, v in trainer._diff.items()},
+                                    mesh)
+            opt_r = replicate_tree(jax.tree_util.tree_map(jnp.array, trainer.opt_state),
+                                   mesh)
+            nd_r = replicate_tree(dict(trainer._nondiff), mesh)
+            b_r = shard_batch(batch, mesh)
+            compiled = step_fn.lower(diff_r, opt_r, nd_r, b_r,
+                                     jax.random.PRNGKey(0)).compile()
+            hlo = compiled.as_text()
+        finally:
+            trainer.pipeline = pipe
+        assert "all-reduce" in hlo  # the gradient all-reduce exists
+        for bad in ("all-gather", "all-to-all", "collective-permute"):
+            assert bad not in hlo, f"dp step leaks a {bad} collective"
 
     def test_trainer_run_step_with_mesh(self, trainer_and_batch):
         trainer, batch, mesh = trainer_and_batch

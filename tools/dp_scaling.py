@@ -1,0 +1,199 @@
+"""Data-parallel scaling evidence on the virtual CPU mesh (VERDICT r2 #2).
+
+This host has ONE core, so wall-clock on an N-virtual-device mesh measures core
+contention, not scaling. The honest, hardware-independent evidence for "the wall is
+per-chip — scale horizontally" is compiled-program structure (the scaling-book recipe:
+pick a mesh, annotate shardings, audit what XLA emits):
+
+  * per-device FLOPs and per-device bytes accessed fall ~1/N at fixed global batch
+    (the compute really is sharded);
+  * cross-device collectives are all-reduces ONLY — no all-gather / all-to-all /
+    collective-permute (the step communicates gradients, nothing else — shard_map keeps
+    compaction chip-local, parallel/data_parallel.py);
+  * all-reduce payload bytes stay CONSTANT in N and ≈ the gradient size (so the
+    communication term does not grow with the mesh; on real hardware it rides ICI at
+    fixed cost while compute shrinks 1/N).
+
+Numerical dp-vs-single-device equivalence is separately pinned by
+tests/core/test_parallel.py::test_dp_step_matches_per_shard_reference.
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+           python tools/dp_scaling.py [--rays 1024] [--steps 64] [--meshes 2,4,8]
+Prints a markdown table + one JSON line; exits nonzero if any audit property fails.
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+                "f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8, "u64": 8}
+_SHAPE_RE = re.compile(r"(pred|bf16|f16|f32|f64|s8|u8|s16|u16|s32|u32|s64|u64)\[([\d,]*)\]")
+
+
+def _shape_bytes(text: str) -> int:
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def audit_hlo(hlo: str):
+    """Collective census of a compiled HLO module: counts by op and all-reduce payload
+    bytes (result shapes of every all-reduce line)."""
+    counts = {"all-reduce": 0, "all-gather": 0, "all-to-all": 0, "collective-permute": 0}
+    ar_bytes = 0
+    for line in hlo.splitlines():
+        for op in counts:
+            if f" {op}(" in line or f" {op}-start(" in line:
+                counts[op] += 1
+                if op == "all-reduce" and "=" in line:
+                    ar_bytes += _shape_bytes(line.split("=", 1)[1].split(f" {op}", 1)[0])
+    return counts, ar_bytes
+
+
+def build(mesh, rays_n, steps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wisp_tpu.accelstructs import OctreeAS
+    from wisp_tpu.core import Rays
+    from wisp_tpu.models.grids import HashGrid
+    from wisp_tpu.models.nefs.nerf import NeuralRadianceField
+    from wisp_tpu.models.pipeline import Pipeline
+    from wisp_tpu.tracers import PackedRFTracer
+    from wisp_tpu.trainers.multiview_trainer import (ConfigMultiviewTrainer,
+                                                     MultiviewTrainer)
+    from wisp_tpu.trainers.tracker import ConfigTracker, Tracker
+
+    grid = HashGrid.from_geometric(blas=OctreeAS.make_dense(4), feature_dim=2,
+                                   num_lods=6, codebook_bitwidth=12, min_grid_res=8,
+                                   max_grid_res=128, feature_std=0.01,
+                                   key=jax.random.PRNGKey(0))
+    nef = NeuralRadianceField(grid=grid, view_embedder="positional", hidden_dim=32,
+                              bias=True, key=jax.random.PRNGKey(1))
+    pipe = Pipeline(nef, PackedRFTracer(raymarch_type="ray", num_steps=steps,
+                                        compaction=0.25))
+
+    class DS:
+        cameras = {}
+        transform = None
+
+        def __len__(self):
+            return 4
+
+    cfg = ConfigMultiviewTrainer(max_epochs=1, prune_every=-1, render_every=-1,
+                                 valid_every=-1, save_every=-1, exp_name="dp-scale",
+                                 enable_amp=False)
+    tracker = Tracker(ConfigTracker(tensorboard=False, log_dir="/tmp/dp_scale"), "dp")
+    trainer = MultiviewTrainer(cfg=cfg, pipeline=pipe, train_dataset=DS(),
+                               tracker=tracker, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(rays_n, 3)).astype(np.float32)
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 1.5
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = Rays(jnp.asarray(np.broadcast_to([0, 0, -3.0], (rays_n, 3)).astype(np.float32)),
+                jnp.asarray(dirs), 0.0, 8.0)
+    batch = (rays, jnp.asarray(rng.random((rays_n, 3)).astype(np.float32)),
+             jnp.asarray(0, jnp.int32))
+    return trainer, batch
+
+
+def compile_step(trainer, batch, mesh):
+    import jax
+    import jax.numpy as jnp
+    step = trainer._build_step()
+    diff = {k: jnp.array(v) for k, v in trainer._diff.items()}
+    opt = jax.tree_util.tree_map(jnp.array, trainer.opt_state)
+    nd = dict(trainer._nondiff)
+    if mesh is not None:
+        from wisp_tpu.parallel import replicate_tree, shard_batch
+        diff = replicate_tree(diff, mesh)
+        opt = replicate_tree(opt, mesh)
+        nd = replicate_tree(nd, mesh)
+        batch = shard_batch(batch, mesh)
+    compiled = step.lower(diff, opt, nd, batch, jax.random.PRNGKey(0)).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    grad_bytes = sum(4 * v.size for v in trainer._diff.values())
+    return compiled.as_text(), cost or {}, grad_bytes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=1024, help="GLOBAL ray batch (fixed)")
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--meshes", type=str, default="2,4,8")
+    args = ap.parse_args()
+
+    # must run on the forced-CPU virtual platform (shared recipe: __graft_entry__)
+    from __graft_entry__ import _force_virtual_cpu_devices
+    meshes = [int(m) for m in args.meshes.split(",")]
+    _force_virtual_cpu_devices(max(meshes))
+
+    rows = []
+    failures = []
+    base_flops = base_bytes = None
+    for n in [0] + meshes:  # 0 = single-device, no mesh (the per-device baseline)
+        mesh = None
+        if n:
+            from wisp_tpu.parallel import make_mesh
+            mesh = make_mesh(n)
+        trainer, batch = build(mesh, args.rays, args.steps)
+        hlo, cost, grad_bytes = compile_step(trainer, batch, mesh)
+        counts, ar_bytes = audit_hlo(hlo)
+        flops = cost.get("flops", float("nan"))
+        membytes = cost.get("bytes accessed", float("nan"))
+        if n == 0:
+            base_flops, base_bytes = flops, membytes
+        rows.append({"mesh": n or 1, "dp": bool(n), "flops_per_device": flops,
+                     "bytes_per_device": membytes, "collectives": counts,
+                     "all_reduce_payload_bytes": ar_bytes, "grad_bytes": grad_bytes})
+        if n:
+            for bad in ("all-gather", "all-to-all", "collective-permute"):
+                if counts[bad]:
+                    failures.append(f"mesh={n}: {counts[bad]} {bad} ops")
+            if counts["all-reduce"] == 0:
+                failures.append(f"mesh={n}: no gradient all-reduce found")
+            if ar_bytes > 4 * grad_bytes:
+                failures.append(f"mesh={n}: all-reduce payload {ar_bytes} >> grads "
+                                f"{grad_bytes}")
+            if base_flops and flops > 1.6 * base_flops / n:
+                failures.append(f"mesh={n}: per-device flops {flops:.3g} not ~1/N of "
+                                f"single-device {base_flops:.3g}")
+
+    print(f"\nDP scaling audit — global batch {args.rays} rays x {args.steps} steps, "
+          f"compaction 0.25 (compiled-program structure; wall-clock is meaningless on a "
+          f"1-core host)\n")
+    print("| mesh | per-device GFLOP | vs 1-dev | all-reduce payload (B) | grads (B) | "
+          "gather/alltoall/permute |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        c = r["collectives"]
+        rel = r["flops_per_device"] / base_flops if base_flops else float("nan")
+        print(f"| {r['mesh']}{'' if r['dp'] else ' (no mesh)'} "
+              f"| {r['flops_per_device'] / 1e9:.3f} | {rel:.3f} "
+              f"| {r['all_reduce_payload_bytes']} | {r['grad_bytes']} "
+              f"| {c['all-gather']}/{c['all-to-all']}/{c['collective-permute']} |")
+    print()
+    ok = not failures
+    print(json.dumps({"metric": "dp_scaling_audit", "ok": ok, "failures": failures,
+                      "rows": rows}))
+    if not ok:
+        print("FAIL:", "; ".join(failures), file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

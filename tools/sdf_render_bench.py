@@ -1,0 +1,128 @@
+"""Sphere-tracer TPU render throughput (VERDICT r2 #5 — previously unmeasured).
+
+Benches PackedSDFTracer rendering at 512x512 on the NGLOD-octree config shape (level-7
+blas from a procedural sphere, OctreeGrid 6 LODs x feature 16, hidden-128 NeuralSDF,
+32 sphere-trace steps). Tracer cost is weight-independent (the fori_loop runs all
+num_steps iterations for every ray), so an untrained nef gives the same wall as a
+converged one; quality evidence lives in tests/apps/test_nglod.py.
+
+Stage breakdown: DDA raytrace alone (the serial lax.scan wall) vs the full trace
+(raytrace + 32 sphere-trace iterations + finite-difference normals).
+
+Usage: python tools/sdf_render_bench.py [--side 512] [--chunk 65536] [--steps 32]
+Prints one JSON line. Timing hard-syncs by fetching a scalar (block_until_ready does not
+synchronize on the axon remote platform).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", type=int, default=512)
+    ap.add_argument("--chunk", type=int, default=65536)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--level", type=int, default=7)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="raytrace interval cap; 0 = blas default (exact bound <= L7)")
+    args = ap.parse_args()
+
+    from wisp_tpu.accelstructs import OctreeAS
+    from wisp_tpu.core import Rays
+    from wisp_tpu.models.grids import OctreeGrid
+    from wisp_tpu.models.nefs.neural_sdf import NeuralSDF
+    from wisp_tpu.ops.mesh import make_sphere_mesh, sample_surface
+    from wisp_tpu.ops.spc.core import quantize_points
+    from wisp_tpu.tracers.packed_sdf_tracer import PackedSDFTracer
+
+    v, f = make_sphere_mesh(radius=0.7, subdivisions=4)
+    samples = sample_surface(v, f, 1_000_000)
+    blas = OctreeAS.from_quantized_points(quantize_points(samples, args.level),
+                                          args.level)
+    grid = OctreeGrid(blas=blas, feature_dim=16, num_lods=6, feature_std=0.01,
+                      multiscale_type="sum", interpolation_type="linear",
+                      key=jax.random.PRNGKey(0))
+    nef = NeuralSDF(grid=grid, pos_embedder="none", position_input=True,
+                    hidden_dim=128, num_layers=1, key=jax.random.PRNGKey(1))
+    tracer = PackedSDFTracer(num_steps=args.steps, step_size=0.8, min_dis=3e-4,
+                             raytrace_capacity=args.capacity or None)
+
+    # pinhole-ish ray grid from z=-3
+    side = args.side
+    xs = np.linspace(-0.95, 0.95, side, dtype=np.float32)
+    xx, yy = np.meshgrid(xs, xs, indexing="ij")
+    origins = np.stack([xx.ravel(), yy.ravel(), np.full(side * side, -3.0, np.float32)],
+                       axis=-1)
+    dirs = np.zeros_like(origins)
+    dirs[:, 2] = 1.0
+    n_total = side * side
+    chunk = min(args.chunk, n_total)
+
+    trace_fn = jax.jit(lambda r: tracer(nef, r).channels)
+    rt_fn = jax.jit(lambda r: nef.grid.raytrace(r, level=grid.active_lods[-1],
+                                                with_exit=True).t_entry)
+
+    def rays_of(i):
+        return Rays(jnp.asarray(origins[i:i + chunk]), jnp.asarray(dirs[i:i + chunk]),
+                    0.0, 10.0)
+
+    # compile
+    t0 = time.perf_counter()
+    out = trace_fn(rays_of(0))
+    _ = float(out["depth"].sum())
+    compile_s = time.perf_counter() - t0
+    _ = float(rt_fn(rays_of(0)).sum())
+
+    # raytrace-only stage
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(args.iters):
+        for i in range(0, n_total, chunk):
+            acc = acc + rt_fn(rays_of(i)).sum()
+    _ = float(acc)
+    rt_s = (time.perf_counter() - t0) / args.iters
+
+    # full trace
+    t0 = time.perf_counter()
+    acc = 0.0
+    hits = 0.0
+    for _ in range(args.iters):
+        for i in range(0, n_total, chunk):
+            out = trace_fn(rays_of(i))
+            acc = acc + out["depth"].sum()
+            hits = hits + out["hit"].sum()
+    _ = float(acc)
+    full_s = (time.perf_counter() - t0) / args.iters
+
+    result = {
+        "metric": "sdf_render_rays_per_sec_per_chip",
+        "value": round(n_total / full_s, 1),
+        "unit": "rays/s",
+        "detail": {
+            "side": side, "chunk": chunk, "num_steps": args.steps,
+            "level": args.level, "iters": args.iters,
+            "full_ms_per_frame": round(full_s * 1e3, 1),
+            "fps": round(1.0 / full_s, 2),
+            "raytrace_ms_per_frame": round(rt_s * 1e3, 1),
+            "sphere_trace_ms_per_frame": round((full_s - rt_s) * 1e3, 1),
+            "hit_frac": round(float(hits) / (args.iters * n_total), 4),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -214,14 +214,28 @@ class BaseTrainer(ABC):
         optimizer = self.optimizer
         compute_loss = self.compute_loss
         spec = self._spec
+        mesh = self.mesh
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step_fn(diff, opt_state, nondiff, batch, key):
+        def value_and_grad_fn(diff, nondiff, batch, key):
             def inner(d):
                 pipeline = spec.unflatten(d, nondiff)
                 return compute_loss(pipeline, batch, key)
 
             (loss, aux), grads = jax.value_and_grad(inner, has_aux=True)(diff)
+            return loss, aux, grads
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step_fn(diff, opt_state, nondiff, batch, key):
+            if mesh is None:
+                loss, aux, grads = value_and_grad_fn(diff, nondiff, batch, key)
+            else:
+                # shard_map over the dp axis: every per-ray stage (incl. compaction, which
+                # a global-view jit can only do by all-gathering the sample arrays — see
+                # parallel/data_parallel.py) stays chip-local; the only cross-chip
+                # communication is the gradient all-reduce.
+                from wisp_tpu.parallel.data_parallel import dp_shard_map
+                loss, aux, grads = dp_shard_map(value_and_grad_fn, mesh, batch)(
+                    diff, nondiff, batch, key)
             updates, opt_state = optimizer.update(grads, opt_state, diff)
             diff = optax.apply_updates(diff, updates)
             return diff, opt_state, loss, aux
