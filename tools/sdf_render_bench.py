@@ -2,12 +2,13 @@
 
 Benches PackedSDFTracer rendering at 512x512 on the NGLOD-octree config shape (level-7
 blas from a procedural sphere, OctreeGrid 6 LODs x feature 16, hidden-128 NeuralSDF,
-32 sphere-trace steps). Tracer cost is weight-independent (the fori_loop runs all
-num_steps iterations for every ray), so an untrained nef gives the same wall as a
-converged one; quality evidence lives in tests/apps/test_nglod.py.
+32 sphere-trace steps). Tracer cost is weight-independent (the fori_loops run all
+iterations for every ray), so an untrained nef gives the same wall as a converged one
+(hit_frac ~0 is expected); quality evidence lives in tests/apps/test_nglod.py.
 
-Stage breakdown: DDA raytrace alone (the serial lax.scan wall) vs the full trace
-(raytrace + 32 sphere-trace iterations + finite-difference normals).
+Stage breakdown: the free-space-distance transform alone (the per-render-call
+precompute, accelstructs/octree_as.py free_space_distance) vs the full trace
+(FSD walk + num_steps sphere-trace iterations + finite-difference normals).
 
 Usage: python tools/sdf_render_bench.py [--side 512] [--chunk 65536] [--steps 32]
 Prints one JSON line. Timing hard-syncs by fetching a scalar (block_until_ready does not
@@ -34,8 +35,6 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--level", type=int, default=7)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--capacity", type=int, default=0,
-                    help="raytrace interval cap; 0 = blas default (exact bound <= L7)")
     args = ap.parse_args()
 
     from wisp_tpu.accelstructs import OctreeAS
@@ -55,8 +54,8 @@ def main():
                       key=jax.random.PRNGKey(0))
     nef = NeuralSDF(grid=grid, pos_embedder="none", position_input=True,
                     hidden_dim=128, num_layers=1, key=jax.random.PRNGKey(1))
-    tracer = PackedSDFTracer(num_steps=args.steps, step_size=0.8, min_dis=3e-4,
-                             raytrace_capacity=args.capacity or None)
+    tracer = PackedSDFTracer(num_steps=args.steps, step_size=0.8, min_dis=3e-4)
+    tracer = tracer.with_free_dist(blas)  # scene-static: transform computed once
 
     # pinhole-ish ray grid from z=-3
     side = args.side
@@ -70,8 +69,7 @@ def main():
     chunk = min(args.chunk, n_total)
 
     trace_fn = jax.jit(lambda r: tracer(nef, r).channels)
-    rt_fn = jax.jit(lambda r: nef.grid.raytrace(r, level=grid.active_lods[-1],
-                                                with_exit=True).t_entry)
+    fsd_fn = jax.jit(lambda: blas.free_space_distance().sum())
 
     def rays_of(i):
         return Rays(jnp.asarray(origins[i:i + chunk]), jnp.asarray(dirs[i:i + chunk]),
@@ -82,16 +80,15 @@ def main():
     out = trace_fn(rays_of(0))
     _ = float(out["depth"].sum())
     compile_s = time.perf_counter() - t0
-    _ = float(rt_fn(rays_of(0)).sum())
+    _ = float(fsd_fn())
 
-    # raytrace-only stage
+    # FSD transform alone (recomputed once per trace call today)
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(args.iters):
-        for i in range(0, n_total, chunk):
-            acc = acc + rt_fn(rays_of(i)).sum()
+        acc = acc + fsd_fn()
     _ = float(acc)
-    rt_s = (time.perf_counter() - t0) / args.iters
+    fsd_s = (time.perf_counter() - t0) / args.iters
 
     # full trace
     t0 = time.perf_counter()
@@ -114,8 +111,7 @@ def main():
             "level": args.level, "iters": args.iters,
             "full_ms_per_frame": round(full_s * 1e3, 1),
             "fps": round(1.0 / full_s, 2),
-            "raytrace_ms_per_frame": round(rt_s * 1e3, 1),
-            "sphere_trace_ms_per_frame": round((full_s - rt_s) * 1e3, 1),
+            "fsd_transform_ms": round(fsd_s * 1e3, 2),
             "hit_frac": round(float(hits) / (args.iters * n_total), 4),
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),

@@ -49,6 +49,10 @@ class MeshExtent:
 
 
 class OctreeAS(Module, BaseAS):
+    # levels up to which dense point-query index maps are materialized (8^7 × 4 B ≈ 8 MB;
+    # level 8 would cost 67 MB — binary search takes over there)
+    PIDX_MAP_MAX_LEVEL = 7
+
     def __init__(self, codes_per_level: List[np.ndarray], dense: bool = False):
         """Build from per-level sorted morton code arrays (level 0 .. max_level)."""
         self.max_level = len(codes_per_level) - 1
@@ -62,9 +66,25 @@ class OctreeAS(Module, BaseAS):
             self.points = None
             self.occ_grid = None
             self.cell_density = None
+            self.pidx_maps = None
         else:
             self.codes = [jnp.asarray(c.astype(np.uint32)) for c in codes_per_level]
             self.points = [jnp.asarray(morton_to_points(c)) for c in codes_per_level]
+            # Dense per-level cell-index maps (level ≤ PIDX_MAP_MAX_LEVEL): flat [res_l^3]
+            # i32, -1 = cell not in the table. Turns every point query into ONE gather
+            # instead of a searchsorted (≈ log2(n) serial gather rounds — measured the
+            # dominant cost of OctreeGrid interpolation and the DDA inner loop). ~9.6 MB
+            # total through level 7; higher levels fall back to binary search.
+            self.pidx_maps = []
+            for l, c in enumerate(codes_per_level):
+                if l > self.PIDX_MAP_MAX_LEVEL:
+                    break
+                res_l = 2 ** l
+                pts_l = morton_to_points(c).astype(np.int64)
+                m = np.full(res_l ** 3, -1, np.int32)
+                m[(pts_l[:, 0] * res_l + pts_l[:, 1]) * res_l + pts_l[:, 2]] = \
+                    np.arange(len(c), dtype=np.int32)
+                self.pidx_maps.append(jnp.asarray(m))
             res = 2 ** self.max_level
             occ = np.zeros(res ** 3, dtype=bool)
             leaf_pts = morton_to_points(codes_per_level[-1]).astype(np.int64)
@@ -127,6 +147,7 @@ class OctreeAS(Module, BaseAS):
         obj.points = None
         obj.occ_grid = jnp.ones((8 ** level,), bool)
         obj.cell_density = jnp.zeros((8 ** level,), jnp.float32)
+        obj.pidx_maps = None
         return obj
 
     def update_occupancy(self, occ_grid, cell_density=None) -> "OctreeAS":
@@ -169,6 +190,12 @@ class OctreeAS(Module, BaseAS):
                 qq = quantize_points_jnp(coords, l)
                 flat = (qq[..., 0] * res_l + qq[..., 1]) * res_l + qq[..., 2]
                 pidx = jnp.where(self.occ_grid[flat], c.astype(jnp.int32), -1)
+            elif self.pidx_maps is not None and l < len(self.pidx_maps):
+                # dense index map: one gather instead of a binary search
+                res_l = 2 ** l
+                qq = (q >> jnp.int32(level - l)).astype(jnp.int32)
+                flat = (qq[..., 0] * res_l + qq[..., 1]) * res_l + qq[..., 2]
+                pidx = self.pidx_maps[l][flat]
             else:
                 table = self.codes[l]
                 i = jnp.searchsorted(table, c)
@@ -194,6 +221,41 @@ class OctreeAS(Module, BaseAS):
         q = quantize_points_jnp(coords, self.max_level)
         flat = (q[..., 0] * res + q[..., 1]) * res + q[..., 2]
         return jnp.where(inside, self.occ_grid[flat], False)
+
+    def free_space_distance(self, max_k: int = 31) -> jax.Array:
+        """Chebyshev (L∞) distance-to-occupied transform of the max_level occupancy
+        bitfield: flat ``[res^3]`` int32, 0 = occupied cell, k = nearest occupied cell is k
+        voxels away (clamped to ``max_k``). A point inside a cell with value k is at least
+        ``(k-1)·voxel`` (Euclidean) from any occupied cell — sphere tracers use that as a
+        conservative empty-space skip, replacing the serial DDA raytrace + interval buffers
+        with ONE gather per step (packed_sdf_tracer.py; the reference's equivalent is
+        raytrace + find_depth_bound, csrc/render/find_depth_bound_cuda.cu:16-45).
+
+        Computed with log-doubling separable max-dilations (radii 1,2,4,8,16 → 15
+        reduce_window calls instead of ``max_k``·3): distances are quantized to the exact
+        lower bounds {1,2,4,8,16,32} — a cell first reached by the cumulative-radius-s
+        dilation is assigned the previous cumulative radius + 1, which is ≤ its true
+        distance (stepping stays safe; long-range steps lose at most 2× vs the exact
+        transform, and the per-render-call transform cost is what dominates a frame).
+        Call inside jit."""
+        res = 2 ** self.max_level
+        if self.dense or self.occ_grid is None:
+            return jnp.zeros((res ** 3,), jnp.int32)
+        occ = self.occ_grid.reshape(res, res, res)
+        cur = occ.astype(jnp.int8)
+        dist = jnp.where(occ, 0, -1).astype(jnp.int32)
+        s_prev, s, radius = 0, 0, 1
+        while s < max_k:
+            for axis in range(3):
+                win = tuple(2 * radius + 1 if a == axis else 1 for a in range(3))
+                cur = jax.lax.reduce_window(cur, jnp.int8(0), jax.lax.max, win,
+                                            (1, 1, 1), "SAME")
+            s += radius
+            dist = jnp.where((cur > 0) & (dist < 0), s_prev + 1, dist)
+            s_prev = s
+            radius *= 2
+        dist = jnp.where(dist < 0, s_prev + 1, dist)
+        return dist.reshape(-1)
 
     # -- AABB intersection helper -------------------------------------------------------------
     @staticmethod
@@ -250,6 +312,11 @@ class OctreeAS(Module, BaseAS):
                 flat = (ivc[0] * res + ivc[1]) * res + ivc[2]
                 found = jnp.logical_and(inb, self.occ_grid[flat])
                 return found, jnp.where(found, morton3d(iv).astype(jnp.int32), -1)
+            if self.pidx_maps is not None and level < len(self.pidx_maps):
+                ivc = jnp.clip(iv, 0, res - 1)
+                i = self.pidx_maps[level][(ivc[0] * res + ivc[1]) * res + ivc[2]]
+                found = jnp.logical_and(inb, i >= 0)
+                return found, jnp.where(found, i, -1)
             code = morton3d(iv)
             table = self.codes[level]
             i = jnp.searchsorted(table, code)
