@@ -27,18 +27,21 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "smoke: fast gate (<3 min total) — unit + kernel-equivalence tests")
+        "markers", "smoke: fast gate (<3 min total) — quick unit tests")
+    config.addinivalue_line(
+        "markers", "kernel: compile-heavy kernel-equivalence / gradient / sharding tests "
+        "(~10 min); run with -m 'smoke or kernel' for the full unit suite")
     config.addinivalue_line(
         "markers", "full: long e2e train-to-PSNR tests (reference CI shards these per "
         "config, ubuntu_test_CI.jenkins:56-149)")
 
 
 def pytest_collection_modifyitems(config, items):
-    """Auto-tier: tests/apps (and explicitly-marked slow unit tests) are 'full'; everything
-    else is 'smoke'. `pytest -m smoke` gates a round in minutes; `-m full` runs the e2e
-    trainings."""
+    """Auto-tier: tests/apps are 'full'; explicitly-marked compile-heavy unit tests are
+    'kernel'; everything else is 'smoke'. `pytest -m smoke` gates a round in <3 min;
+    `-m "smoke or kernel"` is the full unit suite; `-m full` runs the e2e trainings."""
     for item in items:
-        explicit = {m.name for m in item.iter_markers()} & {"smoke", "full"}
+        explicit = {m.name for m in item.iter_markers()} & {"smoke", "kernel", "full"}
         if explicit:
             continue
         if "/apps/" in str(item.fspath) or "\\apps\\" in str(item.fspath):

@@ -1,6 +1,7 @@
 """Checkpoint/resume tests — params, optimizer state and counters must round-trip
 (capability beyond the reference, which restores weights only — SURVEY.md §5.4)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,7 @@ def _make_trainer(tmp_path, seed=0):
                         tracker=tracker)
 
 
+@pytest.mark.kernel
 def test_checkpoint_roundtrip(tmp_path):
     t1 = _make_trainer(tmp_path)
     t1.pre_training()

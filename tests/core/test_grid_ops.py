@@ -142,6 +142,7 @@ class TestHashgrid:
         assert out.shape == (5, 1, 8, 2)
 
 
+@pytest.mark.kernel
 class TestLayoutOptimizedVsNaive:
     """The corner-major TPU-layout hashgrid must match the naive [N,8,F] oracle exactly."""
 
@@ -173,6 +174,7 @@ class TestLayoutOptimizedVsNaive:
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_naive), atol=1e-4)
 
 
+@pytest.mark.kernel
 class TestDenseMatmulPath:
     """Dense-table LODs interpolated via the factored MXU matmul must match the naive
     oracle: exactly for 'f32_highest', to bf16 tolerance for 'bf16'. Mixed ladders (dense +
@@ -262,6 +264,7 @@ class TestDenseMatmulPath:
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
 
 
+@pytest.mark.kernel
 class TestFreeze:
     def test_frozen_grid_gets_zero_gradients(self, rng):
         import jax
@@ -283,6 +286,7 @@ class TestFreeze:
         assert float(jnp.abs(g_frozen).sum()) == 0
 
 
+@pytest.mark.kernel
 class TestGatherRows:
     """gather_rows: fwd = table[idx]; bwd = per-column 1-D scatter-adds (the TPU fast path).
     Checked against JAX's built-in gather transpose."""
@@ -321,6 +325,7 @@ class TestGatherRows:
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.kernel
 class TestMaskedCompactIndices:
     @pytest.mark.full  # compile-heavy: keeps the smoke gate under its <3 min promise
     def test_matches_nonzero(self, rng):
@@ -344,6 +349,7 @@ class TestMaskedCompactIndices:
                                       np.arange(5))
 
 
+@pytest.mark.kernel
 class TestDenseMatmulMemoryCap:
     def test_large_n_falls_back_to_gathers_with_same_result(self, rng, monkeypatch):
         """Above _DENSE_MM_MAX_ELEMS the matmul path must route to the gather path (the

@@ -62,6 +62,7 @@ class TestOctreeConstruction:
         assert trinkets2[1].shape == (2, 8)
 
 
+@pytest.mark.kernel
 class TestOctreeQuery:
     def test_query_hit_miss(self):
         # occupy a single leaf cell at level 3: cell (0,0,0) covers [-1,-0.75)^3
@@ -102,6 +103,7 @@ class TestOctreeQuery:
         assert int(pidx[0]) == 0 and int(pidx[1]) == 1
 
 
+@pytest.mark.kernel
 class TestRaytrace:
     def test_single_voxel_intersection(self):
         # Cell (0,0,0) at level 1 covers [-1,0)^3; ray along +x at y=z=-0.5 hits it
@@ -178,6 +180,7 @@ class TestRaytrace:
             "default capacity at level 7 must cover the exact DDA bound"
 
 
+@pytest.mark.kernel
 class TestRaymarch:
     def _blas(self):
         # occupy half the space: all cells with x < 0 at level 2
@@ -223,6 +226,7 @@ class TestTotalVariation:
         assert float(tv) == 0.0
 
 
+@pytest.mark.kernel
 class TestOctreeGridContinuity:
     def test_interpolation_continuous_across_cells(self):
         """Trilinear octree-grid features must agree when approaching a shared cell face
@@ -256,6 +260,7 @@ class TestOctreeGridContinuity:
         assert out.shape == (32, 8)  # 2 lods * feature_dim 4, 'cat'
 
 
+@pytest.mark.kernel
 class TestBitfieldOnlyTopology:
     """A pruned make_dense blas keeps no level tables; query/raytrace must fall back to the
     occupancy bitfield (this is the NeRF pruning regime)."""

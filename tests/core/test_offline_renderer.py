@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.kernel
+
 from wisp_tpu.accelstructs import OctreeAS
 from wisp_tpu.models.nefs.spc_field import SPCField
 from wisp_tpu.models.pipeline import Pipeline

@@ -55,6 +55,7 @@ def trainer_and_batch():
     return trainer, batch, mesh
 
 
+@pytest.mark.kernel
 class TestDataParallel:
     def test_mesh_and_placement(self, trainer_and_batch):
         trainer, batch, mesh = trainer_and_batch
@@ -146,6 +147,7 @@ class TestDataParallel:
         assert np.isfinite(float(loss))
 
 
+@pytest.mark.kernel
 class TestMultiHostInputPipeline:
     """Multi-host input pipeline (SURVEY.md §5.8): per-process view splits + global-array
     assembly from process-local shards. True multi-process needs real pod hardware; the

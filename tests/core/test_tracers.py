@@ -36,6 +36,7 @@ def _rays(n=64):
     return Rays(jnp.asarray(origins.copy()), jnp.asarray(dirs), 0.0, 8.0)
 
 
+@pytest.mark.kernel
 class TestPackedRFTracer:
     @pytest.mark.full  # compile-heavy: keeps the smoke gate under its <3 min promise
     def test_output_channels(self):
@@ -169,6 +170,7 @@ class TestPackedRFTracer:
             f"grid interpolation ran on uncompacted samples: {calls} (full={full})"
 
 
+@pytest.mark.kernel
 class TestCompactionTruncationOrder:
     def test_truncation_drops_late_steps_not_whole_rays(self):
         """When the compaction budget is smaller than the valid-sample count, the kept set

@@ -91,11 +91,19 @@ class WispApp:
                  "turntable": TurntableMode}
         return modes[name](self.render_core.camera)
 
+    def _sync_user_mode(self) -> None:
+        # GUI controls replace render_core.camera directly (controls.py set_fov etc.);
+        # rebase the controller so the next drag doesn't revert those edits
+        if self.user_mode.camera is not self.render_core.camera:
+            self.user_mode.rebase(self.render_core.camera)
+
     def on_mouse_drag(self, dx: float, dy: float) -> None:
+        self._sync_user_mode()
         self.render_core.camera = self.user_mode.handle_mouse_drag(dx, dy)
         self.wisp_state.renderer.canvas_dirty = True
 
     def on_mouse_scroll(self, amount: float) -> None:
+        self._sync_user_mode()
         self.render_core.camera = self.user_mode.handle_mouse_scroll(amount)
         self.wisp_state.renderer.canvas_dirty = True
 

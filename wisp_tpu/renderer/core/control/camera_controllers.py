@@ -30,6 +30,13 @@ class CameraControlMode:
     def name(self) -> str:
         return type(self).__name__
 
+    def rebase(self, camera: Camera) -> None:
+        """Adopt an externally-edited camera (e.g. a FOV/distance edit from a GUI control
+        replaced the RendererCore camera), preserving the orbit target. Without this, the
+        next drag would rebuild the view from the controller's stale camera and silently
+        revert the edit."""
+        self.camera = camera
+
     # -- common ops ---------------------------------------------------------------------------
     def zoom(self, amount: float) -> Camera:
         """Dolly along the view direction."""
@@ -115,6 +122,14 @@ class TurntableMode(CameraControlMode):
 
     def __init__(self, camera: Camera, **kw):
         super().__init__(camera, **kw)
+        offset = camera.cam_pos - self.target
+        self.radius = float(np.linalg.norm(offset))
+        self.azimuth = float(np.arctan2(offset[0], offset[2]))
+        self.elevation = float(np.arcsin(np.clip(offset[1] / max(self.radius, 1e-9),
+                                                 -1.0, 1.0)))
+
+    def rebase(self, camera: Camera) -> None:
+        self.camera = camera
         offset = camera.cam_pos - self.target
         self.radius = float(np.linalg.norm(offset))
         self.azimuth = float(np.arctan2(offset[0], offset[2]))
