@@ -101,6 +101,20 @@ def test_sdf_sphere_tracer_renders():
     normal = np.asarray(rb.normal)[center]
     assert normal[2] < -0.9
 
+    # -- active-ray compaction (sphere loop runs only on rays that reached occupancy) --
+    # ample budget: bit-identical to the uncompacted trace, zero overflow
+    rb_c = tracer.replace(compaction=0.9)(nef, rays)
+    assert float(rb_c.num_overflow) == 0.0
+    np.testing.assert_array_equal(np.asarray(rb_c.hit), np.asarray(rb.hit))
+    np.testing.assert_allclose(np.asarray(rb_c.depth), np.asarray(rb.depth), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rb_c.normal), np.asarray(rb.normal), atol=1e-6)
+    # starved budget: dropped rays are COUNTED (non-silent), survivors still correct
+    rb_s = tracer.replace(compaction=0.1)(nef, rays)   # budget 6 < live count
+    assert float(rb_s.num_overflow) > 0.0
+    hit_s = np.asarray(rb_s.hit)[:, 0]
+    assert hit_s.sum() <= hit.sum()
+    assert (~hit_s | hit).all(), "compacted trace must not invent hits"
+
 
 def test_neural_sdf_tex_trains_rgb_and_sdf():
     """NeuralSDFTex (4-channel sdf+rgb decoder, reference neural_sdf_tex.py:20-123) trains

@@ -123,6 +123,34 @@ class TestLPIPS:
         finally:
             M.reset_lpips_cache()
 
+    # frozen on 2026-08-17 (CPU backend, float32): the network under seed-0 synthetic
+    # weights on deterministic image pairs. Any refactor of the JAX VGG forward (conv
+    # plan, taps, normalization, lin-head clamping) that changes numerics trips this —
+    # the drift guard the real-weight golden values would provide (real torch+lpips
+    # goldens are not computable in this environment; tools/export_lpips_weights.py
+    # prints them wherever torch+lpips exists).
+    _GOLDEN = {"grad_vs_checker": 0.987562, "grad_vs_noise": 0.995275,
+               "checker_vs_noise": 0.802357, "grad_vs_gradshift": 0.156906}
+
+    def test_lpips_golden_values_frozen(self, tmp_path, monkeypatch):
+        from wisp_tpu.ops.image import metrics as M
+        monkeypatch.setenv("WISP_LPIPS_WEIGHTS", self._fake_weights(tmp_path))
+        M.reset_lpips_cache()
+        try:
+            yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 63.0
+            grad = np.stack([xx, yy, 0.5 * (xx + yy)], -1)
+            checker = (np.indices((64, 64)).sum(0) % 2
+                       ).astype(np.float32)[..., None].repeat(3, -1)
+            noise = np.asarray(np.random.default_rng(7).random((64, 64, 3)), np.float32)
+            pairs = {"grad_vs_checker": (grad, checker),
+                     "grad_vs_noise": (grad, noise),
+                     "checker_vs_noise": (checker, noise),
+                     "grad_vs_gradshift": (grad, np.clip(grad + 0.1, 0, 1))}
+            for name, (a, b) in pairs.items():
+                assert M.lpips(a, b) == pytest.approx(self._GOLDEN[name], rel=2e-3), name
+        finally:
+            M.reset_lpips_cache()
+
     def test_lpips_unavailable_raises(self, monkeypatch):
         from wisp_tpu.ops.image import metrics as M
         monkeypatch.delenv("WISP_LPIPS_WEIGHTS", raising=False)

@@ -41,6 +41,39 @@ def main(out_path: str):
 
     np.savez_compressed(out_path, **out)
     print(f"wrote {len(out)} arrays to {out_path}")
+    _golden_self_test(out_path, model)
+
+
+def _golden_self_test(npz_path: str, torch_model) -> None:
+    """Print golden LPIPS values on deterministic images, from BOTH the exported-npz JAX
+    network and the original torch model. The two columns must match (~1e-3); paste the
+    values into tests/core/test_channels_and_metrics.py::TestLPIPS as the real-weight
+    golden set (the in-repo goldens use synthetic weights because this export cannot run
+    in the wisp_tpu CI environment)."""
+    import os
+
+    import torch
+
+    os.environ["WISP_LPIPS_WEIGHTS"] = npz_path
+    from wisp_tpu.ops.image import metrics as M
+    M.reset_lpips_cache()
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 63.0
+    grad = np.stack([xx, yy, 0.5 * (xx + yy)], -1)
+    checker = (np.indices((64, 64)).sum(0) % 2).astype(np.float32)[..., None].repeat(3, -1)
+    noise = np.asarray(np.random.default_rng(7).random((64, 64, 3)), np.float32)
+    pairs = {"grad_vs_checker": (grad, checker), "grad_vs_noise": (grad, noise),
+             "checker_vs_noise": (checker, noise),
+             "grad_vs_gradshift": (grad, np.clip(grad + 0.1, 0, 1))}
+
+    def to_torch(img):
+        return torch.from_numpy(img * 2.0 - 1.0).permute(2, 0, 1)[None]
+
+    print(f"{'pair':22s} {'jax(npz)':>10s} {'torch':>10s}")
+    for name, (a, b) in pairs.items():
+        jv = M.lpips(a, b)
+        tv = float(torch_model(to_torch(a), to_torch(b)).item())
+        print(f"{name:22s} {jv:10.6f} {tv:10.6f}")
 
 
 def _slice_of(pos: int) -> int:

@@ -1,0 +1,212 @@
+"""Record a real interactive session against the HTML/WebSocket viewer.
+
+Evidence tool for the interactive layer (reference wisp/renderer/app/wisp_app.py:483-564
+render-on-demand + FPS-adaptive scaling): starts a live-training OptimizationApp wrapped in
+WispWebServer, then drives it over the actual websocket protocol — the same messages the
+served page's JavaScript sends — with a scripted human-like timeline: orbit drags, scroll
+zoom, FOV/tracer/channel edits, pause/resume training. Logs every frame notification
+(timestamp, step, render resolution, server-side fps), saves sample frames, and writes a
+session.json summary.
+
+Run on the real TPU (default) or CPU:
+    python tools/web_session_record.py --seconds 60 --canvas 512 --out _results/web_session
+    python tools/web_session_record.py --platform cpu --seconds 30 --canvas 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def build_training_app(canvas: int, views: int, view_res: int, epochs: int):
+    """A live NeRF training app (hash grid on the procedural scene) — the wisp demo
+    workload: training ticks run between rendered frames."""
+    import jax
+
+    from wisp_tpu.accelstructs import OctreeAS
+    from wisp_tpu.config.presets import ConfigAdamW
+    from wisp_tpu.datasets.random_view_dataset import RandomViewDataset
+    from wisp_tpu.datasets.transforms.ray_sampler import SampleRays
+    from wisp_tpu.framework.state import WispState
+    from wisp_tpu.models.grids import HashGrid
+    from wisp_tpu.models.nefs.nerf import NeuralRadianceField
+    from wisp_tpu.models.pipeline import Pipeline
+    from wisp_tpu.renderer import OptimizationApp
+    from wisp_tpu.renderer.core.api import add_to_scene_graph
+    from wisp_tpu.tracers import PackedRFTracer
+    from wisp_tpu.trainers.multiview_trainer import (ConfigMultiviewTrainer,
+                                                     MultiviewTrainer)
+    from wisp_tpu.trainers.tracker import ConfigTracker, Tracker
+
+    grid = HashGrid.from_geometric(blas=OctreeAS.make_dense(5), feature_dim=2, num_lods=8,
+                                   codebook_bitwidth=12, min_grid_res=16, max_grid_res=128,
+                                   multiscale_type="cat", feature_std=1e-9,
+                                   key=jax.random.PRNGKey(0))
+    nef = NeuralRadianceField(grid=grid, view_embedder="positional", hidden_dim=64,
+                              bias=True, key=jax.random.PRNGKey(1))
+    pipeline = Pipeline(nef, PackedRFTracer(raymarch_type="ray", num_steps=128,
+                                            bg_color=(1.0, 1.0, 1.0), early_stop=0.01))
+    dataset = RandomViewDataset(num_views=views, height=view_res, width=view_res,
+                                transform=SampleRays(4096))
+    cfg = ConfigMultiviewTrainer(
+        optimizer=ConfigAdamW(lr=1e-3, eps=1e-15, weight_decay=1e-6),
+        grid_lr_weight=500.0, max_epochs=epochs, prune_every=-1, render_every=-1,
+        valid_every=-1, save_every=-1, exp_name="web-session")
+    tracker = Tracker(ConfigTracker(tensorboard=False, log_dir="/tmp/web_session_logs"),
+                      "web-session")
+    trainer = MultiviewTrainer(cfg=cfg, pipeline=pipeline, train_dataset=dataset,
+                               tracker=tracker)
+
+    state = WispState()
+    state.renderer.canvas_width = canvas
+    state.renderer.canvas_height = canvas
+    state.renderer.target_fps = 4.0
+    add_to_scene_graph(state, "nerf", trainer.sync_pipeline())
+
+    def training_tick():
+        trainer.iterate()
+        state.graph.neural_pipelines["nerf"] = trainer.sync_pipeline()
+        state.optimization.epoch = trainer.epoch
+
+    app = OptimizationApp(state, trainer_step_func=training_tick)
+    app.wisp_state.optimization.running = True
+    return app, trainer
+
+
+async def drive_session(port: int, seconds: float, out_dir: str):
+    """The scripted 'user': same protocol as the served page's JS."""
+    import websockets
+
+    import urllib.request
+
+    # wait for the server thread to bind before the timed session starts
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=2)
+            break
+        except Exception:
+            await asyncio.sleep(0.5)
+
+    frames, events, saved = [], [], 0
+
+    async with websockets.connect(f"ws://127.0.0.1:{port}/ws", open_timeout=300,
+                                  max_size=16 * 1024 * 1024) as ws:
+        panels = json.loads(await ws.recv())
+        ctl = {c["id"]: c for p in panels["panels"] for c in p["controls"]}
+
+        # warmup: the first frame carries the train-step + render jit compiles — the
+        # timed session starts when the app is actually interactive
+        print("  waiting for first frame (jit warmup) ...", flush=True)
+        while True:
+            m = json.loads(await ws.recv())
+            if m["type"] == "frame":
+                break
+        t_start = time.time()
+
+        def pick(frag):
+            return next(i for i in ctl if frag in i)
+
+        # (at_second, description, message) — a human-ish interaction timeline
+        timeline = [
+            (0.15, "orbit drag", {"type": "drag", "dx": 60, "dy": -20}),
+            (0.25, "orbit drag", {"type": "drag", "dx": 60, "dy": 0}),
+            (0.35, "zoom in", {"type": "scroll", "amount": 1}),
+            (0.45, "set FOV 45", {"type": "set", "id": pick("FOV"), "value": 45.0}),
+            (0.55, "tracer steps 256", {"type": "set", "id": pick("Raymarch steps"),
+                                        "value": 256}),
+            (0.65, "pause training", {"type": "set", "id": pick("Training running"),
+                                      "value": False}),
+            (0.75, "resume training", {"type": "set", "id": pick("Training running"),
+                                       "value": True}),
+            (0.85, "orbit drag", {"type": "drag", "dx": -120, "dy": 30}),
+        ]
+        timeline = [(f * seconds, d, m) for f, d, m in timeline]
+        ti = 0
+
+        while time.time() - t_start < seconds:
+            now = time.time() - t_start
+            while ti < len(timeline) and now >= timeline[ti][0]:
+                _, desc, msg = timeline[ti]
+                await ws.send(json.dumps(msg))
+                events.append({"t": round(now, 2), "event": desc})
+                print(f"  [{now:6.1f}s] sent: {desc}", flush=True)
+                ti += 1
+            try:
+                raw = await asyncio.wait_for(ws.recv(), timeout=max(
+                    0.05, seconds - (time.time() - t_start)))
+            except asyncio.TimeoutError:
+                continue
+            m = json.loads(raw)
+            if m["type"] != "frame":
+                continue
+            frames.append({"t": round(time.time() - t_start, 3), "step": m["step"],
+                           "res": m["res"], "server_fps": round(m["fps"], 2)})
+            if saved < 6 and m["step"] % max(1, int(len(frames) / 2)) == 0:
+                with open(os.path.join(out_dir, f"frame_{m['step']:04d}.jpg"), "wb") as f:
+                    f.write(base64.b64decode(m["jpg"]))
+                saved += 1
+    return frames, events
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", default=None, help="cpu to avoid the TPU")
+    parser.add_argument("--canvas", type=int, default=512)
+    parser.add_argument("--views", type=int, default=12)
+    parser.add_argument("--view-res", type=int, default=128)
+    parser.add_argument("--seconds", type=float, default=60.0)
+    parser.add_argument("--port", type=int, default=8745)
+    parser.add_argument("--out", default="_results/web_session")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    os.makedirs(args.out, exist_ok=True)
+
+    from wisp_tpu.renderer.web.server import WispWebServer
+
+    print("building live-training app ...", flush=True)
+    app, trainer = build_training_app(args.canvas, args.views, args.view_res, epochs=10000)
+    server = WispWebServer(app, port=args.port)
+    thread = threading.Thread(target=lambda: server.serve(), daemon=True)
+    thread.start()
+    print(f"server on http://127.0.0.1:{args.port}/ — driving a "
+          f"{args.seconds:.0f}s session", flush=True)
+
+    frames, events = asyncio.run(drive_session(args.port, args.seconds, args.out))
+    server.request_stop()
+    thread.join(timeout=300)
+
+    res_seen = sorted({tuple(f["res"]) for f in frames})
+    fps_all = [f["server_fps"] for f in frames if f["server_fps"] > 0]
+    # steady-state fps: skip the compile-heavy first quarter
+    tail = fps_all[len(fps_all) // 4:] or fps_all
+    summary = {
+        "canvas": args.canvas,
+        "seconds": args.seconds,
+        "num_frames": len(frames),
+        "train_epochs_during_session": trainer.epoch,
+        "resolutions_seen": [list(r) for r in res_seen],
+        "fps_mean_steady": round(sum(tail) / max(len(tail), 1), 2),
+        "fps_max": round(max(fps_all, default=0.0), 2),
+        "events": events,
+        "frames": frames,
+    }
+    with open(os.path.join(args.out, "session.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "frames"}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

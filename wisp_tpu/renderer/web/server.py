@@ -168,6 +168,7 @@ class WispWebServer:
         self.port = port
         self.jpeg_quality = jpeg_quality
         self.latest = None                     # (frame ndarray, step)
+        self._stopping = False
         self.connections: set = set()
         self._controls: Dict[str, Control] = {}
         self._frame_count = 0
@@ -244,15 +245,23 @@ class WispWebServer:
 
     async def _render_loop(self, max_frames: Optional[int], idle_sleep: float) -> None:
         from websockets.asyncio.server import broadcast
+        import concurrent.futures
         loop = asyncio.get_running_loop()
-        while max_frames is None or self._frame_count < max_frames:
+        # created eagerly: lazy ThreadPoolExecutor construction can race interpreter
+        # shutdown when serve() runs on a non-main thread
+        executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        while not self._stopping and (max_frames is None
+                                      or self._frame_count < max_frames):
             t0 = time.time()
             # run the blocking jax compute off the event loop so HTTP/WS stay responsive
             # while a frame (or its first compile) is in flight
             def tick():
                 self.app._run_background_tasks()
                 return self.app.render()
-            frame = await loop.run_in_executor(None, tick)
+            try:
+                frame = await loop.run_in_executor(executor, tick)
+            except RuntimeError:
+                break   # interpreter shutdown while serving from a daemon thread
             self.app.presenter.present(frame, self._frame_count)
             self._frame_count += 1
             if self.connections and self.latest is not None:
@@ -277,6 +286,10 @@ class WispWebServer:
     def serve(self, max_frames: Optional[int] = None, idle_sleep: float = 0.05) -> None:
         """Run the app + server until ``max_frames`` frames rendered (None = forever)."""
         asyncio.run(self._serve(max_frames, idle_sleep))
+
+    def request_stop(self) -> None:
+        """Stop the render loop after the in-flight frame (thread-safe)."""
+        self._stopping = True
 
 
 def demo_app(height: int = 256, width: int = 256) -> WispApp:

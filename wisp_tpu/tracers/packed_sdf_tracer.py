@@ -39,7 +39,7 @@ from wisp_tpu.tracers.base_tracer import BaseTracer
 class PackedSDFTracer(BaseTracer):
     def __init__(self, num_steps: int = 1024, step_size: float = 0.8,
                  min_dis: float = 0.0003, raytrace_capacity: Optional[int] = None,
-                 free_dist=None):
+                 free_dist=None, compaction: Optional[float] = None):
         super().__init__()
         self.num_steps = num_steps
         self.step_size = step_size
@@ -47,6 +47,10 @@ class PackedSDFTracer(BaseTracer):
         # retained for config compatibility; the distance-field march has no interval
         # buffer, so there is no capacity to pin
         self.raytrace_capacity = raytrace_capacity
+        # active-ray compaction: after the occupancy-only walk, only rays that reached
+        # occupied space pay the sphere loop's nef queries (the frame wall). The budget is
+        # compaction*rays; overflowing rays are counted in the num_overflow channel
+        self.compaction = compaction
         # optional cached free-space-distance field: SDF octree topology is static (octree
         # grids never prune), so the transform can be computed once per scene —
         # ``tracer.with_free_dist(blas)`` — instead of once per trace call. BaseTracer's
@@ -66,7 +70,8 @@ class PackedSDFTracer(BaseTracer):
         return {"sdf"}
 
     def trace(self, nef, rays, channels, extra_channels, lod_idx=None,
-              num_steps=64, step_size=1.0, min_dis=1e-4, free_dist=None):
+              num_steps=64, step_size=1.0, min_dis=1e-4, free_dist=None,
+              compaction=None):
         if lod_idx is None:
             lod_idx = nef.grid.num_lods - 1
         blas = nef.grid.blas
@@ -79,9 +84,9 @@ class PackedSDFTracer(BaseTracer):
         t_near = jnp.maximum(t_near, 0.0) + 1e-6
         alive0 = t_far > t_near
 
-        origins, dirs = rays.origins, rays.dirs
+        num_rays = rays.origins.shape[0]
 
-        def fsd_at(t):
+        def fsd_at(origins, dirs, t):
             """Chebyshev voxel-distance to occupied space at ray depth t (one gather);
             0 = the point's cell is occupied. Out-of-domain points report max distance
             (they are killed by the t_far check anyway)."""
@@ -99,7 +104,7 @@ class PackedSDFTracer(BaseTracer):
         # Phase 1: occupancy-only walk to the first occupied cell (no nef queries).
         def walk_body(i, carry):
             t, alive = carry
-            k, _ = fsd_at(t)
+            k, _ = fsd_at(rays.origins, rays.dirs, t)
             advance = alive & (k > 0)
             t = jnp.where(advance, t + free_step(k), t)
             alive = alive & (t <= t_far)
@@ -107,52 +112,81 @@ class PackedSDFTracer(BaseTracer):
 
         t0, valid0 = jax.lax.fori_loop(0, num_steps, walk_body, (t_near, alive0))
 
-        def sdf_at(t):
-            pos = origins + t[:, None] * dirs
-            return nef(channels="sdf", coords=pos, lod_idx=lod_idx)[:, 0], pos
+        def sphere_trace(origins, dirs, t0, valid0, t_far):
+            """Phase 2 on whatever ray set it is given: sphere trace (one nef query per
+            iteration — the frame wall); rays in free space (grazing exits) keep skipping
+            by the distance field instead of the sdf."""
 
-        # Phase 2: sphere trace (one nef query per iteration); rays in free space (grazing
-        # exits) keep skipping by the distance field instead of the sdf.
-        def body(i, carry):
-            t, alive, hit = carry
-            d, _ = sdf_at(t)
-            k, _ = fsd_at(t)
-            in_occ = k == 0
-            hit_now = alive & in_occ & (jnp.abs(d) < min_dis)
-            hit = hit | hit_now
-            alive = alive & ~hit_now
+            def sdf_at(t):
+                pos = origins + t[:, None] * dirs
+                return nef(channels="sdf", coords=pos, lod_idx=lod_idx)[:, 0], pos
 
-            step = jnp.where(in_occ, jnp.maximum(d * step_size, 0.0), free_step(k))
-            t = jnp.where(alive, t + step, t)
-            alive = alive & (t <= t_far)
-            return t, alive, hit
+            def body(i, carry):
+                t, alive, hit = carry
+                d, _ = sdf_at(t)
+                k, _ = fsd_at(origins, dirs, t)
+                in_occ = k == 0
+                hit_now = alive & in_occ & (jnp.abs(d) < min_dis)
+                hit = hit | hit_now
+                alive = alive & ~hit_now
 
-        t, alive, hit = jax.lax.fori_loop(
-            0, num_steps, body, (t0, valid0, jnp.zeros_like(valid0)))
+                step = jnp.where(in_occ, jnp.maximum(d * step_size, 0.0), free_step(k))
+                t = jnp.where(alive, t + step, t)
+                alive = alive & (t <= t_far)
+                return t, alive, hit
 
-        _, xyz = sdf_at(t)
-        # Normals: finite differences of the field at the hit points (reference :167-170).
-        sdf_fn = lambda pts: nef(channels="sdf", coords=pts, lod_idx=lod_idx)
-        grad = finitediff_gradient(xyz, sdf_fn)
-        normal = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)
-        normal = jnp.where(hit[:, None], normal, 0.0)
+            t, alive, hit = jax.lax.fori_loop(
+                0, num_steps, body, (t0, valid0, jnp.zeros_like(valid0)))
+
+            _, xyz = sdf_at(t)
+            # Normals: finite differences of the field at hit points (reference :167-170).
+            sdf_fn = lambda pts: nef(channels="sdf", coords=pts, lod_idx=lod_idx)
+            grad = finitediff_gradient(xyz, sdf_fn)
+            normal = grad / jnp.maximum(
+                jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)
+            normal = jnp.where(hit[:, None], normal, 0.0)
+            extras = {}
+            for channel in extra_channels:
+                feats = nef(channels=channel, coords=xyz, lod_idx=lod_idx)
+                extras[channel] = jnp.where(hit[:, None], feats, 0.0)
+            return t, hit, xyz, normal, extras
+
+        if compaction is None:
+            t, hit, xyz, normal, extra_feats = sphere_trace(
+                rays.origins, rays.dirs, t0, valid0, t_far)
+            # no fixed-capacity buffer and no budget: geometry cannot be dropped
+            num_overflow = jnp.asarray(0.0, jnp.float32)
+        else:
+            # Active-ray compaction: only rays whose walk reached occupied space run the
+            # sphere loop — at typical frames most rays miss or die early, so the nef
+            # queries (≈ the whole frame cost) shrink to the live fraction. The budget is
+            # static; rays beyond it are dropped AND counted in num_overflow (the same
+            # non-silent contract as the raytrace interval overflow).
+            from wisp_tpu.ops.compaction import masked_compact_indices
+            budget = max(int(round(num_rays * float(compaction))), 1)
+            idx = masked_compact_indices(valid0[:, None], budget)    # [B], fill=num_rays
+            live = idx < num_rays
+            safe = jnp.minimum(idx, num_rays - 1)
+            t_c, hit_c, xyz_c, normal_c, extras_c = sphere_trace(
+                rays.origins[safe], rays.dirs[safe], t0[safe], live, t_far[safe])
+            t = t0.at[idx].set(t_c, mode="drop")
+            hit = jnp.zeros(num_rays, bool).at[idx].set(hit_c, mode="drop")
+            xyz = (rays.origins + t0[:, None] * rays.dirs
+                   ).at[idx].set(xyz_c, mode="drop")
+            normal = jnp.zeros((num_rays, 3)).at[idx].set(normal_c, mode="drop")
+            extra_feats = {ch: jnp.zeros((num_rays, v.shape[-1]), v.dtype
+                                         ).at[idx].set(v, mode="drop")
+                           for ch, v in extras_c.items()}
+            num_overflow = jnp.maximum(
+                jnp.sum(valid0.astype(jnp.int32)) - budget, 0).astype(jnp.float32)
 
         rgb = jnp.where(hit[:, None], (normal + 1.0) / 2.0, 1.0)
         alpha = hit[:, None].astype(jnp.float32)
         depth = jnp.where(hit, t, 0.0)[:, None]
 
-        extra_outputs = {}
-        for channel in extra_channels:
-            feats = nef(channels=channel, coords=xyz, lod_idx=lod_idx)
-            extra_outputs[channel] = jnp.where(hit[:, None], feats, 0.0)
-
-        # The distance-field march cannot drop occupied geometry (no fixed-capacity
-        # interval buffer), so overflow is identically zero; the channel is kept so debug
-        # consumers (offline renderer, apps) see a uniform surface across tracers.
-        num_overflow = jnp.asarray(0.0, jnp.float32)
         return RenderBuffer(xyz=xyz, depth=depth, hit=hit[:, None], rgb=rgb, alpha=alpha,
-                            normal=normal, num_overflow=num_overflow, **extra_outputs)
+                            normal=normal, num_overflow=num_overflow, **extra_feats)
 
     def public_properties(self) -> Dict[str, Any]:
         return {"Num steps": self.num_steps, "Step size": self.step_size,
-                "Min distance": self.min_dis}
+                "Min distance": self.min_dis, "Compaction": self.compaction}
