@@ -37,7 +37,6 @@ def build_demo(out_dir: str = "/tmp/live_training_panels", epochs: int = 2):
     from wisp_tpu.models.pipeline import Pipeline
     from wisp_tpu.renderer import OptimizationApp
     from wisp_tpu.renderer.app.wisp_app import DiskPresenter
-    from wisp_tpu.renderer.core.api import add_to_scene_graph
     from wisp_tpu.tracers import PackedRFTracer
     from wisp_tpu.trainers.multiview_trainer import (ConfigMultiviewTrainer,
                                                      MultiviewTrainer)
@@ -57,15 +56,16 @@ def build_demo(out_dir: str = "/tmp/live_training_panels", epochs: int = 2):
     cfg = ConfigMultiviewTrainer(
         optimizer=ConfigAdamW(lr=1e-3, eps=1e-15, weight_decay=1e-6),
         grid_lr_weight=100.0, max_epochs=epochs, prune_every=-1, render_every=-1,
-        valid_every=-1, save_every=-1, exp_name="live-panels")
+        valid_every=-1, save_every=-1, exp_name="nerf")
     tracker = Tracker(ConfigTracker(tensorboard=False, log_dir=out_dir), "live-panels")
-    trainer = MultiviewTrainer(cfg=cfg, pipeline=pipeline, train_dataset=dataset,
-                               tracker=tracker)
-
     state = WispState()
     state.renderer.canvas_width = 64
     state.renderer.canvas_height = 64
-    add_to_scene_graph(state, "nerf", trainer.sync_pipeline())
+    # share the app's WispState with the trainer: is_optimization_running reads
+    # scene_state.optimization.running, so a separate state leaves training silently
+    # inert; the trainer registers its pipeline in the shared scene graph (as "nerf")
+    trainer = MultiviewTrainer(cfg=cfg, pipeline=pipeline, train_dataset=dataset,
+                               tracker=tracker, scene_state=state)
 
     def training_tick():
         trainer.iterate()

@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--level", type=int, default=7)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--compaction", type=float, default=None,
+                    help="active-ray compaction budget fraction (sphere loop runs only "
+                         "on rays that reached occupied space)")
+    ap.add_argument("--shuffle", action="store_true",
+                    help="interleave rays across chunks (fixed permutation) so each "
+                         "chunk sees the frame-average live fraction — lets a tight "
+                         "compaction budget hold for every chunk")
     args = ap.parse_args()
 
     from wisp_tpu.accelstructs import OctreeAS
@@ -54,7 +61,8 @@ def main():
                       key=jax.random.PRNGKey(0))
     nef = NeuralSDF(grid=grid, pos_embedder="none", position_input=True,
                     hidden_dim=128, num_layers=1, key=jax.random.PRNGKey(1))
-    tracer = PackedSDFTracer(num_steps=args.steps, step_size=0.8, min_dis=3e-4)
+    tracer = PackedSDFTracer(num_steps=args.steps, step_size=0.8, min_dis=3e-4,
+                             compaction=args.compaction)
     tracer = tracer.with_free_dist(blas)  # scene-static: transform computed once
 
     # pinhole-ish ray grid from z=-3
@@ -67,6 +75,9 @@ def main():
     dirs[:, 2] = 1.0
     n_total = side * side
     chunk = min(args.chunk, n_total)
+    if args.shuffle:
+        perm = np.random.default_rng(0).permutation(n_total)
+        origins, dirs = origins[perm], dirs[perm]
 
     trace_fn = jax.jit(lambda r: tracer(nef, r).channels)
     fsd_fn = jax.jit(lambda: blas.free_space_distance().sum())
@@ -94,11 +105,13 @@ def main():
     t0 = time.perf_counter()
     acc = 0.0
     hits = 0.0
+    overflow = 0.0
     for _ in range(args.iters):
         for i in range(0, n_total, chunk):
             out = trace_fn(rays_of(i))
             acc = acc + out["depth"].sum()
             hits = hits + out["hit"].sum()
+            overflow = overflow + out["num_overflow"]
     _ = float(acc)
     full_s = (time.perf_counter() - t0) / args.iters
 
@@ -113,6 +126,8 @@ def main():
             "fps": round(1.0 / full_s, 2),
             "fsd_transform_ms": round(fsd_s * 1e3, 2),
             "hit_frac": round(float(hits) / (args.iters * n_total), 4),
+            "compaction": args.compaction, "shuffle": args.shuffle,
+            "overflow_rays_per_frame": round(float(overflow) / args.iters, 1),
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
         },

@@ -41,7 +41,6 @@ def build_training_app(canvas: int, views: int, view_res: int, epochs: int):
     from wisp_tpu.models.nefs.nerf import NeuralRadianceField
     from wisp_tpu.models.pipeline import Pipeline
     from wisp_tpu.renderer import OptimizationApp
-    from wisp_tpu.renderer.core.api import add_to_scene_graph
     from wisp_tpu.tracers import PackedRFTracer
     from wisp_tpu.trainers.multiview_trainer import (ConfigMultiviewTrainer,
                                                      MultiviewTrainer)
@@ -53,8 +52,11 @@ def build_training_app(canvas: int, views: int, view_res: int, epochs: int):
                                    key=jax.random.PRNGKey(0))
     nef = NeuralRadianceField(grid=grid, view_embedder="positional", hidden_dim=64,
                               bias=True, key=jax.random.PRNGKey(1))
+    # compaction is load-bearing at render shapes: a 65536-ray render chunk at 128 steps
+    # uncompacted gathers 8.4M samples x 8 corners x 8 LODs and OOMs 16 GB HBM
     pipeline = Pipeline(nef, PackedRFTracer(raymarch_type="ray", num_steps=128,
-                                            bg_color=(1.0, 1.0, 1.0), early_stop=0.01))
+                                            bg_color=(1.0, 1.0, 1.0), early_stop=0.01,
+                                            compaction=0.25))
     dataset = RandomViewDataset(num_views=views, height=view_res, width=view_res,
                                 transform=SampleRays(4096))
     cfg = ConfigMultiviewTrainer(
@@ -63,18 +65,19 @@ def build_training_app(canvas: int, views: int, view_res: int, epochs: int):
         valid_every=-1, save_every=-1, exp_name="web-session")
     tracker = Tracker(ConfigTracker(tensorboard=False, log_dir="/tmp/web_session_logs"),
                       "web-session")
-    trainer = MultiviewTrainer(cfg=cfg, pipeline=pipeline, train_dataset=dataset,
-                               tracker=tracker)
-
     state = WispState()
     state.renderer.canvas_width = canvas
     state.renderer.canvas_height = canvas
     state.renderer.target_fps = 4.0
-    add_to_scene_graph(state, "nerf", trainer.sync_pipeline())
+    # the trainer MUST share the app's WispState: is_optimization_running reads
+    # scene_state.optimization.running, so a separate state leaves training silently
+    # inert; the trainer also registers its pipeline in the shared scene graph itself
+    trainer = MultiviewTrainer(cfg=cfg, pipeline=pipeline, train_dataset=dataset,
+                               tracker=tracker, scene_state=state)
 
     def training_tick():
         trainer.iterate()
-        state.graph.neural_pipelines["nerf"] = trainer.sync_pipeline()
+        state.graph.neural_pipelines[cfg.exp_name] = trainer.sync_pipeline()
         state.optimization.epoch = trainer.epoch
 
     app = OptimizationApp(state, trainer_step_func=training_tick)
@@ -142,8 +145,9 @@ async def drive_session(port: int, seconds: float, out_dir: str):
                 print(f"  [{now:6.1f}s] sent: {desc}", flush=True)
                 ti += 1
             try:
-                raw = await asyncio.wait_for(ws.recv(), timeout=max(
-                    0.05, seconds - (time.time() - t_start)))
+                # short timeout so timeline events fire on schedule even when no frame
+                # is in flight (a remote compile can take tens of seconds)
+                raw = await asyncio.wait_for(ws.recv(), timeout=0.25)
             except asyncio.TimeoutError:
                 continue
             m = json.loads(raw)
@@ -151,10 +155,14 @@ async def drive_session(port: int, seconds: float, out_dir: str):
                 continue
             frames.append({"t": round(time.time() - t_start, 3), "step": m["step"],
                            "res": m["res"], "server_fps": round(m["fps"], 2)})
-            if saved < 6 and m["step"] % max(1, int(len(frames) / 2)) == 0:
+            last = m
+            if saved < 8 and len(frames) % 20 == 1:
                 with open(os.path.join(out_dir, f"frame_{m['step']:04d}.jpg"), "wb") as f:
                     f.write(base64.b64decode(m["jpg"]))
                 saved += 1
+        if frames:
+            with open(os.path.join(out_dir, "frame_last.jpg"), "wb") as f:
+                f.write(base64.b64decode(last["jpg"]))
     return frames, events
 
 
@@ -178,7 +186,7 @@ def main():
 
     print("building live-training app ...", flush=True)
     app, trainer = build_training_app(args.canvas, args.views, args.view_res, epochs=10000)
-    server = WispWebServer(app, port=args.port)
+    server = WispWebServer(app, port=args.port, bg_ticks_per_frame=4)
     thread = threading.Thread(target=lambda: server.serve(), daemon=True)
     thread.start()
     print(f"server on http://127.0.0.1:{args.port}/ — driving a "
@@ -197,6 +205,7 @@ def main():
         "seconds": args.seconds,
         "num_frames": len(frames),
         "train_epochs_during_session": trainer.epoch,
+        "train_steps_during_session": trainer.total_iterations,
         "resolutions_seen": [list(r) for r in res_seen],
         "fps_mean_steady": round(sum(tail) / max(len(tail), 1), 2),
         "fps_max": round(max(fps_all, default=0.0), 2),

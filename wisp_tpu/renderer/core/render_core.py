@@ -96,6 +96,11 @@ class RendererCore:
         if interactive and target_fps and self.state.renderer.fps and \
                 self.state.renderer.fps < target_fps:
             scale = max(np.sqrt(self.state.renderer.fps / target_fps), 0.25)
+            # quantize the scale to powers of two: every UNIQUE resolution is a fresh
+            # XLA compile (the reference's GL canvas scales continuously,
+            # render_core.py:227-285 — on TPU that would compile per frame); /1 /2 /4
+            # bounds the compiled-shape count to three per canvas size
+            scale = 2.0 ** np.floor(np.log2(scale))
             res_x = max(int(res_x * scale), 64)
             res_y = max(int(res_y * scale), 64)
         return FramePayload(camera=self.camera.resize(res_x, res_y),

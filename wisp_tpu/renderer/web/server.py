@@ -162,11 +162,14 @@ class WispWebServer:
     """One-port HTTP+WebSocket server around a WispApp (see module docstring)."""
 
     def __init__(self, app: WispApp, host: str = "127.0.0.1", port: int = 8711,
-                 jpeg_quality: int = 85):
+                 jpeg_quality: int = 85, bg_ticks_per_frame: int = 1):
         self.app = app
         self.host = host
         self.port = port
         self.jpeg_quality = jpeg_quality
+        # background (training) iterations per rendered frame — the reference's
+        # render_every=25 idle-tick ratio (optimization_app.py run loop)
+        self.bg_ticks_per_frame = bg_ticks_per_frame
         self.latest = None                     # (frame ndarray, step)
         self._stopping = False
         self.connections: set = set()
@@ -256,12 +259,16 @@ class WispWebServer:
             # run the blocking jax compute off the event loop so HTTP/WS stay responsive
             # while a frame (or its first compile) is in flight
             def tick():
-                self.app._run_background_tasks()
+                for _ in range(self.bg_ticks_per_frame):
+                    self.app._run_background_tasks()
                 return self.app.render()
             try:
                 frame = await loop.run_in_executor(executor, tick)
-            except RuntimeError:
-                break   # interpreter shutdown while serving from a daemon thread
+            except RuntimeError as e:
+                if "shutdown" in str(e):
+                    break   # interpreter shutdown while serving from a daemon thread
+                log.exception("render tick failed")
+                raise
             self.app.presenter.present(frame, self._frame_count)
             self._frame_count += 1
             if self.connections and self.latest is not None:
