@@ -245,7 +245,9 @@ class RandomViewDataset(MultiviewDataset):
             # TPU VPU; it is one jitted call per chunk so tunnel round trips stay bounded
             gt_ctx = (_host_device_ctx() if self.gt_device == "host"
                       else jax.default_device(jax.devices()[0]))
-            gt_chunk = chunk if self.gt_device == "host" else 262144
+            # accelerator chunk sized so coords + ~6 live [N*S] part indicators stay
+            # well under 16 GB HBM at 512 GT samples
+            gt_chunk = chunk if self.gt_device == "host" else 131072
             with gt_ctx:
                 for s in range(0, o.shape[0], gt_chunk):
                     rgb_c, a_c = render(Rays(origins=jnp.asarray(o[s:s + gt_chunk]),
