@@ -115,6 +115,22 @@ def test_sdf_sphere_tracer_renders():
     assert hit_s.sum() <= hit.sum()
     assert (~hit_s | hit).all(), "compacted trace must not invent hits"
 
+    # -- mid-loop re-compaction (hit/dead rays stop paying nef queries mid-loop) --
+    # ample mid budget: bit-identical to the uncompacted trace (a non-alive ray is frozen
+    # by the loop masks, so skipping it is exact)
+    rb_m = tracer.replace(compaction=0.9, mid_compaction=0.9, mid_at=0.25)(nef, rays)
+    assert float(rb_m.num_overflow) == 0.0
+    np.testing.assert_array_equal(np.asarray(rb_m.hit), np.asarray(rb.hit))
+    np.testing.assert_allclose(np.asarray(rb_m.depth), np.asarray(rb.depth), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rb_m.normal), np.asarray(rb.normal), atol=1e-6)
+    # starved mid budget (1 ray after 3 iterations, when most live rays haven't
+    # converged): mid-dropped alive rays are counted, survivors must not invent hits
+    rb_ms = tracer.replace(compaction=0.9, mid_compaction=1.0 / n,
+                           mid_at=0.05)(nef, rays)
+    assert float(rb_ms.num_overflow) > 0.0
+    hit_ms = np.asarray(rb_ms.hit)[:, 0]
+    assert (~hit_ms | hit).all(), "mid-compacted trace must not invent hits"
+
 
 def test_neural_sdf_tex_trains_rgb_and_sdf():
     """NeuralSDFTex (4-channel sdf+rgb decoder, reference neural_sdf_tex.py:20-123) trains

@@ -38,11 +38,28 @@ def main():
     ap.add_argument("--compaction", type=float, default=None,
                     help="active-ray compaction budget fraction (sphere loop runs only "
                          "on rays that reached occupied space)")
+    ap.add_argument("--mid-compaction", type=float, default=None,
+                    help="mid-loop re-compaction budget fraction: after mid_at*steps "
+                         "sphere iterations, only still-alive rays pay the remaining "
+                         "nef queries (pays off on TRAINED fields where rays hit early)")
+    ap.add_argument("--mid-at", type=float, default=0.5)
     ap.add_argument("--shuffle", action="store_true",
                     help="interleave rays across chunks (fixed permutation) so each "
                          "chunk sees the frame-average live fraction — lets a tight "
                          "compaction budget hold for every chunk")
+    ap.add_argument("--pretrained", type=str, default=None,
+                    help="path to a 'full'-format checkpoint (e.g. the nglod app's "
+                         "model.pkl): bench the TRAINED field instead of the synthetic "
+                         "untrained one — required for an honest mid-compaction number "
+                         "(untrained fields never converge, so the live set never "
+                         "shrinks)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host CPU backend (JAX_PLATFORMS=cpu alone is NOT "
+                         "honored in ad-hoc scripts on this platform — logic checks "
+                         "only, not perf)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from wisp_tpu.accelstructs import OctreeAS
     from wisp_tpu.core import Rays
@@ -52,17 +69,25 @@ def main():
     from wisp_tpu.ops.spc.core import quantize_points
     from wisp_tpu.tracers.packed_sdf_tracer import PackedSDFTracer
 
-    v, f = make_sphere_mesh(radius=0.7, subdivisions=4)
-    samples = sample_surface(v, f, 1_000_000)
-    blas = OctreeAS.from_quantized_points(quantize_points(samples, args.level),
-                                          args.level)
-    grid = OctreeGrid(blas=blas, feature_dim=16, num_lods=6, feature_std=0.01,
-                      multiscale_type="sum", interpolation_type="linear",
-                      key=jax.random.PRNGKey(0))
-    nef = NeuralSDF(grid=grid, pos_embedder="none", position_input=True,
-                    hidden_dim=128, num_layers=1, key=jax.random.PRNGKey(1))
+    if args.pretrained:
+        from wisp_tpu.trainers import load_pipeline
+        pipeline = load_pipeline(args.pretrained)
+        nef = pipeline.nef
+        blas = nef.grid.blas
+        args.level = int(blas.max_level)
+    else:
+        v, f = make_sphere_mesh(radius=0.7, subdivisions=4)
+        samples = sample_surface(v, f, 1_000_000)
+        blas = OctreeAS.from_quantized_points(quantize_points(samples, args.level),
+                                              args.level)
+        grid = OctreeGrid(blas=blas, feature_dim=16, num_lods=6, feature_std=0.01,
+                          multiscale_type="sum", interpolation_type="linear",
+                          key=jax.random.PRNGKey(0))
+        nef = NeuralSDF(grid=grid, pos_embedder="none", position_input=True,
+                        hidden_dim=128, num_layers=1, key=jax.random.PRNGKey(1))
     tracer = PackedSDFTracer(num_steps=args.steps, step_size=0.8, min_dis=3e-4,
-                             compaction=args.compaction)
+                             compaction=args.compaction,
+                             mid_compaction=args.mid_compaction, mid_at=args.mid_at)
     tracer = tracer.with_free_dist(blas)  # scene-static: transform computed once
 
     # pinhole-ish ray grid from z=-3
@@ -127,6 +152,8 @@ def main():
             "fsd_transform_ms": round(fsd_s * 1e3, 2),
             "hit_frac": round(float(hits) / (args.iters * n_total), 4),
             "compaction": args.compaction, "shuffle": args.shuffle,
+            "mid_compaction": args.mid_compaction, "mid_at": args.mid_at,
+            "pretrained": bool(args.pretrained),
             "overflow_rays_per_frame": round(float(overflow) / args.iters, 1),
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),

@@ -39,7 +39,8 @@ from wisp_tpu.tracers.base_tracer import BaseTracer
 class PackedSDFTracer(BaseTracer):
     def __init__(self, num_steps: int = 1024, step_size: float = 0.8,
                  min_dis: float = 0.0003, raytrace_capacity: Optional[int] = None,
-                 free_dist=None, compaction: Optional[float] = None):
+                 free_dist=None, compaction: Optional[float] = None,
+                 mid_compaction: Optional[float] = None, mid_at: float = 0.5):
         super().__init__()
         self.num_steps = num_steps
         self.step_size = step_size
@@ -51,6 +52,14 @@ class PackedSDFTracer(BaseTracer):
         # occupied space pay the sphere loop's nef queries (the frame wall). The budget is
         # compaction*rays; overflowing rays are counted in the num_overflow channel
         self.compaction = compaction
+        # mid-loop re-compaction (requires compaction): after mid_at*num_steps sphere
+        # iterations, rays that converged (hit) or left the domain stop paying nef
+        # queries — the remaining iterations run only on still-alive rays, budget
+        # mid_compaction*rays. Pays off on TRAINED fields, where most live rays hit within
+        # the first iterations; on an untrained field nothing converges and the live set
+        # never shrinks. Overflowing alive rays are dropped AND counted in num_overflow.
+        self.mid_compaction = mid_compaction
+        self.mid_at = mid_at
         # optional cached free-space-distance field: SDF octree topology is static (octree
         # grids never prune), so the transform can be computed once per scene —
         # ``tracer.with_free_dist(blas)`` — instead of once per trace call. BaseTracer's
@@ -71,7 +80,7 @@ class PackedSDFTracer(BaseTracer):
 
     def trace(self, nef, rays, channels, extra_channels, lod_idx=None,
               num_steps=64, step_size=1.0, min_dis=1e-4, free_dist=None,
-              compaction=None):
+              compaction=None, mid_compaction=None, mid_at=0.5):
         if lod_idx is None:
             lod_idx = nef.grid.num_lods - 1
         blas = nef.grid.blas
@@ -112,18 +121,15 @@ class PackedSDFTracer(BaseTracer):
 
         t0, valid0 = jax.lax.fori_loop(0, num_steps, walk_body, (t_near, alive0))
 
-        def sphere_trace(origins, dirs, t0, valid0, t_far):
-            """Phase 2 on whatever ray set it is given: sphere trace (one nef query per
-            iteration — the frame wall); rays in free space (grazing exits) keep skipping
-            by the distance field instead of the sdf."""
-
-            def sdf_at(t):
-                pos = origins + t[:, None] * dirs
-                return nef(channels="sdf", coords=pos, lod_idx=lod_idx)[:, 0], pos
+        def sphere_loop(origins, dirs, t, alive, hit, t_far, n):
+            """n sphere-trace iterations (one nef query each — the frame wall) on
+            whatever ray set it is given; rays in free space (grazing exits) keep
+            skipping by the distance field instead of the sdf."""
 
             def body(i, carry):
                 t, alive, hit = carry
-                d, _ = sdf_at(t)
+                pos = origins + t[:, None] * dirs
+                d = nef(channels="sdf", coords=pos, lod_idx=lod_idx)[:, 0]
                 k, _ = fsd_at(origins, dirs, t)
                 in_occ = k == 0
                 hit_now = alive & in_occ & (jnp.abs(d) < min_dis)
@@ -135,11 +141,12 @@ class PackedSDFTracer(BaseTracer):
                 alive = alive & (t <= t_far)
                 return t, alive, hit
 
-            t, alive, hit = jax.lax.fori_loop(
-                0, num_steps, body, (t0, valid0, jnp.zeros_like(valid0)))
+            return jax.lax.fori_loop(0, n, body, (t, alive, hit))
 
-            _, xyz = sdf_at(t)
-            # Normals: finite differences of the field at hit points (reference :167-170).
+        def finalize(origins, dirs, t, hit):
+            """Normals (finite differences of the field at the final points, reference
+            :167-170) + extra channels; hit-masked."""
+            xyz = origins + t[:, None] * dirs
             sdf_fn = lambda pts: nef(channels="sdf", coords=pts, lod_idx=lod_idx)
             grad = finitediff_gradient(xyz, sdf_fn)
             normal = grad / jnp.maximum(
@@ -149,11 +156,12 @@ class PackedSDFTracer(BaseTracer):
             for channel in extra_channels:
                 feats = nef(channels=channel, coords=xyz, lod_idx=lod_idx)
                 extras[channel] = jnp.where(hit[:, None], feats, 0.0)
-            return t, hit, xyz, normal, extras
+            return xyz, normal, extras
 
         if compaction is None:
-            t, hit, xyz, normal, extra_feats = sphere_trace(
-                rays.origins, rays.dirs, t0, valid0, t_far)
+            t, _, hit = sphere_loop(rays.origins, rays.dirs, t0, valid0,
+                                    jnp.zeros_like(valid0), t_far, num_steps)
+            xyz, normal, extra_feats = finalize(rays.origins, rays.dirs, t, hit)
             # no fixed-capacity buffer and no budget: geometry cannot be dropped
             num_overflow = jnp.asarray(0.0, jnp.float32)
         else:
@@ -167,8 +175,31 @@ class PackedSDFTracer(BaseTracer):
             idx = masked_compact_indices(valid0[:, None], budget)    # [B], fill=num_rays
             live = idx < num_rays
             safe = jnp.minimum(idx, num_rays - 1)
-            t_c, hit_c, xyz_c, normal_c, extras_c = sphere_trace(
-                rays.origins[safe], rays.dirs[safe], t0[safe], live, t_far[safe])
+            o_c, d_c, tf_c = rays.origins[safe], rays.dirs[safe], t_far[safe]
+            dropped_mid = jnp.asarray(0, jnp.int32)
+            if mid_compaction is None:
+                t_c, _, hit_c = sphere_loop(o_c, d_c, t0[safe], live,
+                                            jnp.zeros_like(live), tf_c, num_steps)
+            else:
+                # Mid-loop re-compaction: on a trained field most live rays hit (or exit)
+                # within the first iterations; after n1 iterations only still-alive rays
+                # pay the remaining nef queries. Exact for dropped rays — a non-alive ray
+                # is frozen by the loop's masks anyway, so skipping it is bit-identical.
+                n1 = min(max(int(round(num_steps * float(mid_at))), 0), num_steps)
+                t_c, alive_c, hit_c = sphere_loop(o_c, d_c, t0[safe], live,
+                                                  jnp.zeros_like(live), tf_c, n1)
+                budget2 = max(int(round(num_rays * float(mid_compaction))), 1)
+                idx2 = masked_compact_indices(alive_c[:, None], budget2)  # fill=budget
+                live2 = idx2 < budget
+                safe2 = jnp.minimum(idx2, budget - 1)
+                t_m, _, hit_m = sphere_loop(o_c[safe2], d_c[safe2], t_c[safe2], live2,
+                                            jnp.zeros_like(live2), tf_c[safe2],
+                                            num_steps - n1)
+                t_c = t_c.at[idx2].set(t_m, mode="drop")
+                hit_c = hit_c.at[idx2].set(hit_m, mode="drop")
+                dropped_mid = jnp.maximum(
+                    jnp.sum(alive_c.astype(jnp.int32)) - budget2, 0)
+            xyz_c, normal_c, extras_c = finalize(o_c, d_c, t_c, hit_c)
             t = t0.at[idx].set(t_c, mode="drop")
             hit = jnp.zeros(num_rays, bool).at[idx].set(hit_c, mode="drop")
             xyz = (rays.origins + t0[:, None] * rays.dirs
@@ -177,8 +208,8 @@ class PackedSDFTracer(BaseTracer):
             extra_feats = {ch: jnp.zeros((num_rays, v.shape[-1]), v.dtype
                                          ).at[idx].set(v, mode="drop")
                            for ch, v in extras_c.items()}
-            num_overflow = jnp.maximum(
-                jnp.sum(valid0.astype(jnp.int32)) - budget, 0).astype(jnp.float32)
+            num_overflow = (jnp.maximum(jnp.sum(valid0.astype(jnp.int32)) - budget, 0)
+                            + dropped_mid).astype(jnp.float32)
 
         rgb = jnp.where(hit[:, None], (normal + 1.0) / 2.0, 1.0)
         alpha = hit[:, None].astype(jnp.float32)
@@ -189,4 +220,5 @@ class PackedSDFTracer(BaseTracer):
 
     def public_properties(self) -> Dict[str, Any]:
         return {"Num steps": self.num_steps, "Step size": self.step_size,
-                "Min distance": self.min_dis, "Compaction": self.compaction}
+                "Min distance": self.min_dis, "Compaction": self.compaction,
+                "Mid compaction": self.mid_compaction}
