@@ -1,0 +1,72 @@
+"""Adaptive-ray / adaptive-compaction retuners respect the HBM memory cap.
+
+Regression for the lego-proxy headline OOM: the two retuners tune independently, and a
+transient (budget not yet shrunk) x (ray growth) product reached 4.2M compacted slots
+= 19.5 GB of padded row-gather temp on a 16 GB chip. `max_compacted_samples` now caps
+num_rays * num_steps * budget in BOTH retuners (rays shrink first — quality-neutral;
+budget growth past the cap is refused with a warning, step-major truncation covering)."""
+
+import types
+
+import pytest
+
+pytestmark = pytest.mark.smoke
+
+from wisp_tpu.datasets.transforms.ray_sampler import SampleRays
+from wisp_tpu.tracers import PackedRFTracer
+from wisp_tpu.trainers.multiview_trainer import ConfigMultiviewTrainer, MultiviewTrainer
+
+
+class _FakePipeline:
+    def __init__(self, tracer):
+        self.tracer = tracer
+
+    def replace(self, tracer):
+        return _FakePipeline(tracer)
+
+
+def _bare_trainer(tracer, num_rays, **cfg_kw):
+    t = MultiviewTrainer.__new__(MultiviewTrainer)
+    t.cfg = ConfigMultiviewTrainer(**cfg_kw)
+    t.pipeline = _FakePipeline(tracer)
+    t.train_dataset = types.SimpleNamespace(transform=SampleRays(num_samples=num_rays))
+    t._frac_window = []
+    t._steps_since_retune = 0
+    t.sync_pipeline = lambda: t.pipeline
+    def _refresh(p):
+        t.pipeline = p
+    t.refresh_pipeline = _refresh
+    return t
+
+
+def test_adaptive_rays_capped_by_memory():
+    # the OOM shape: 32 valid samples/ray measured at 4096 rays -> target 2^18/32 = 8192
+    # rays, but budget still 1.0 at 512 steps -> 8192*512*1.0 = 4.2M slots > 2^21 cap
+    tracer = PackedRFTracer(num_steps=512, compaction=1.0)
+    t = _bare_trainer(tracer, 4096, adaptive_compaction=False,
+                      target_sample_size=2 ** 18, max_compacted_samples=2 ** 21)
+    t._prev_num_samples = 32.0 * 4096
+    t.calc_adaptive_rays(4096)
+    assert t.train_dataset.transform.num_samples == 4096, \
+        "ray growth must be clamped to max_compacted_samples / (steps * budget)"
+
+    # once the budget has shrunk, the same measurement may grow rays
+    t.pipeline = _FakePipeline(tracer.replace(compaction=0.0625))
+    t.calc_adaptive_rays(4096)
+    assert t.train_dataset.transform.num_samples == 8192
+
+
+def test_adaptive_compaction_growth_refused_past_cap():
+    tracer = PackedRFTracer(num_steps=512, compaction=0.25)
+    t = _bare_trainer(tracer, 8192, adaptive_compaction=True,
+                      target_sample_size=2 ** 18, max_compacted_samples=2 ** 21)
+    # measured valid fraction 1.0 at 8192 rays x 512 steps wants budget 1.0, but the cap
+    # allows only 2^21/(8192*512) = 0.5
+    t._prev_num_samples = 1.0 * 8192 * 512
+    t.calc_adaptive_compaction(8192)
+    assert t.pipeline.tracer.compaction == pytest.approx(0.5)
+
+    # an already-at-cap budget is kept (refusal path: no retune, no recompile churn)
+    t._prev_num_samples = 1.0 * 8192 * 512
+    t.calc_adaptive_compaction(8192)
+    assert t.pipeline.tracer.compaction == pytest.approx(0.5)

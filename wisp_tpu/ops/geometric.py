@@ -90,6 +90,36 @@ def find_depth_bound(query_depth, entry_depth, exit_depth, mask):
     return jnp.where(any_valid, next_depth, query_depth), any_valid
 
 
+def voxel_boundary_step(pos, dirs, voxel, eps_frac=1e-3):
+    """Exact DDA step: distance along each ray from ``pos`` to the NEXT voxel-grid plane,
+    plus a small nudge so the landing point is strictly inside the next cell.
+
+    The grid is the uniform [-1,1]^3 lattice with cell size ``voxel``. Stepping by this
+    amount crosses exactly one cell boundary — it can never pass THROUGH a cell interior —
+    so a marcher that uses it whenever its free-space skip is not strictly larger visits
+    every cell the ray intersects (the skip-only variant's 0.5·voxel floor could hop over
+    a corner sliver whose chord is shorter). Counterpart of the per-step advance in the
+    reference's CUDA raytrace (kaolin csrc raytrace.cu ray_aabb stepping).
+
+    Args:
+        pos: [N, 3] current positions.
+        dirs: [N, 3] ray directions (need not be normalized; zero components allowed).
+        voxel: cell edge length (2/res).
+
+    Returns:
+        [N] step length along the ray (strictly positive).
+    """
+    # distance to the next plane per axis: dir>0 → ceil boundary, dir<0 → floor boundary
+    q = jnp.floor((pos + 1.0) / voxel)
+    next_plane = -1.0 + (q + (dirs > 0.0)) * voxel
+    safe_dirs = jnp.where(jnp.abs(dirs) > 1e-12, dirs, 1.0)
+    dt = jnp.where(jnp.abs(dirs) > 1e-12, (next_plane - pos) / safe_dirs, jnp.inf)
+    # a coordinate exactly on its boundary yields dt=0 for that axis; the eps nudge below
+    # still guarantees progress
+    dt = jnp.min(jnp.maximum(dt, 0.0), axis=-1)
+    return dt + eps_frac * voxel
+
+
 def look_at(eye, at, up=(0.0, 1.0, 0.0)) -> np.ndarray:
     """Right-handed look-at view matrix [4,4] (world → camera)."""
     eye = np.asarray(eye, dtype=np.float32)

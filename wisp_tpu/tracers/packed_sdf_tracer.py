@@ -11,7 +11,9 @@ lists:
 * Empty-space skip = ONE gather per step: a point whose cell is k voxels from occupied
   space can safely advance ``(k-1)·voxel`` — no serial DDA scan, no [R, capacity] interval
   buffers, no per-step searchsorted (the round-2 design spent ~60% of a frame in the DDA
-  raytrace alone).
+  raytrace alone). Near occupancy (k ≤ 1) the step is the EXACT distance to the next voxel
+  boundary (``ops.geometric.voxel_boundary_step``), so the walk visits every cell the ray
+  intersects — it cannot graze past a corner sliver the way a fixed 0.5·voxel floor could.
 * Phase 1 walks rays to their first occupied cell with occupancy-only iterations (no nef
   query — the expensive part of a step). Phase 2 runs ``num_steps`` sphere-trace
   iterations: sdf·step_size inside occupied cells, free-space skip otherwise (so grazing
@@ -32,6 +34,7 @@ import jax.numpy as jnp
 
 from wisp_tpu.core.render_buffer import RenderBuffer
 from wisp_tpu.ops.differential import finitediff_gradient
+from wisp_tpu.ops.geometric import voxel_boundary_step
 from wisp_tpu.ops.spc.core import quantize_points_jnp
 from wisp_tpu.tracers.base_tracer import BaseTracer
 
@@ -105,17 +108,21 @@ class PackedSDFTracer(BaseTracer):
             flat = (q[..., 0] * res + q[..., 1]) * res + q[..., 2]
             return jnp.where(inside, free_dist[flat], jnp.int32(2 ** 30)), pos
 
-        def free_step(k):
+        def free_step(k, pos, dirs):
             # a point in a cell k voxels (L∞) from occupied space is ≥ (k-1)·voxel from
-            # it; 0.5·voxel floor guarantees progress without skipping past a neighbor
-            return jnp.maximum(k.astype(jnp.float32) - 1.0, 0.5) * voxel
+            # it; when that skip is not larger than one cell, step EXACTLY to the next
+            # voxel boundary (one crossing — cannot pass through a cell interior), so the
+            # walk visits every cell the ray intersects. Both distances are individually
+            # safe, so their max is safe and the larger one is taken.
+            skip = (k.astype(jnp.float32) - 1.0) * voxel
+            return jnp.maximum(skip, voxel_boundary_step(pos, dirs, voxel))
 
         # Phase 1: occupancy-only walk to the first occupied cell (no nef queries).
         def walk_body(i, carry):
             t, alive = carry
-            k, _ = fsd_at(rays.origins, rays.dirs, t)
+            k, pos = fsd_at(rays.origins, rays.dirs, t)
             advance = alive & (k > 0)
-            t = jnp.where(advance, t + free_step(k), t)
+            t = jnp.where(advance, t + free_step(k, pos, rays.dirs), t)
             alive = alive & (t <= t_far)
             return t, alive
 
@@ -136,7 +143,8 @@ class PackedSDFTracer(BaseTracer):
                 hit = hit | hit_now
                 alive = alive & ~hit_now
 
-                step = jnp.where(in_occ, jnp.maximum(d * step_size, 0.0), free_step(k))
+                step = jnp.where(in_occ, jnp.maximum(d * step_size, 0.0),
+                                 free_step(k, pos, dirs))
                 t = jnp.where(alive, t + step, t)
                 alive = alive & (t <= t_far)
                 return t, alive, hit

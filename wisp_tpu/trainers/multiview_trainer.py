@@ -46,6 +46,13 @@ class ConfigMultiviewTrainer(ConfigBaseTrainer):
     target_sample_size: int = 2 ** 18
     save_valid_imgs: bool = False
     adaptive_compaction: bool = False
+    # HBM-safe ceiling on num_rays * num_steps * compaction_budget — the compacted-sample
+    # slot count that drives the hash-interp row-gather's padded temp (~512 B/slot on TPU:
+    # 2^21 slots ≈ 8.6 GB peak, fits 16 GB; 2^22 OOMs). Adaptive rays and adaptive
+    # compaction each retune independently; without this cap a transient (high budget
+    # not yet shrunk) x (ray growth) product can OOM mid-run — observed at lego-proxy
+    # epoch 10: rays 4096->8192 with budget still 1.0 = 4.2M slots = 19.5 GB.
+    max_compacted_samples: int = 2 ** 21
     # inference-only early ray termination: march in `render_segments` depth segments,
     # dropping rays whose transmittance fell below `render_early_stop` (opaque scenes
     # finish most rays in the first segment). 1 = classic single-pass rendering.
@@ -103,6 +110,13 @@ class MultiviewTrainer(BaseTrainer):
         num_rays = int(min(num_rays, 2 ** 18))
         # bucket to powers of two: stable jit cache (SURVEY.md §5.7 recompilation-free sizing)
         num_rays = 2 ** int(math.floor(math.log2(max(num_rays, 256))))
+        # memory cap: never let rays * steps * budget exceed the HBM-safe slot count,
+        # whatever the (independently retuned) compaction budget currently is
+        tracer = self.pipeline.tracer
+        budget = getattr(tracer, "compaction", None) or 1.0
+        steps = getattr(tracer, "num_steps", 1) or 1
+        while num_rays > 256 and num_rays * steps * budget > self.cfg.max_compacted_samples:
+            num_rays //= 2
         if isinstance(self.train_dataset.transform, SampleRays):
             self.train_dataset.transform.set_num_samples(num_rays)
         if self.cfg.adaptive_compaction:
@@ -145,6 +159,19 @@ class MultiviewTrainer(BaseTrainer):
             new_budget, why = shrink_to, frac_hi
         else:
             return
+        # memory cap (see max_compacted_samples): growth past the HBM-safe slot count is
+        # refused — step-major truncation drops late, occluded samples and the rays
+        # retuner shrinks the batch next step, after which growth can proceed
+        cap_budget = self.cfg.max_compacted_samples / total
+        if new_budget > cap_budget:
+            capped = min(1.0, 2.0 ** math.floor(math.log2(max(cap_budget, 1.0 / 512))))
+            if capped <= current + 1e-9:
+                log.warning(
+                    f"adaptive compaction: budget {new_budget:.4f} (valid fraction "
+                    f"{why:.4f}) exceeds the max_compacted_samples cap at {total} slots; "
+                    f"keeping {current:.4f} (step-major truncation active)")
+                return
+            new_budget = capped
         self._steps_since_retune = 0
         log.info(f"adaptive compaction: budget {current:.4f} -> {new_budget:.4f} "
                  f"(valid fraction {why:.4f})")
