@@ -70,3 +70,25 @@ def test_adaptive_compaction_growth_refused_past_cap():
     t._prev_num_samples = 1.0 * 8192 * 512
     t.calc_adaptive_compaction(8192)
     assert t.pipeline.tracer.compaction == pytest.approx(0.5)
+
+
+def test_adaptive_compaction_no_oscillation_at_bucket_edge():
+    # Regression (lego-proxy headline run): per-view fractions 0.0207-0.0221 sit right at
+    # the 0.0312-bucket edge (0.0312/1.5 = 0.0208). The 5% grow deadband was narrower than
+    # the ~7% view variance, so the budget ping-ponged 0.0312<->0.0625 every shrink window.
+    # With the 15% band the budget must stay put for ANY frac sequence inside that range.
+    tracer = PackedRFTracer(num_steps=512, compaction=0.03125)
+    t = _bare_trainer(tracer, 4096, adaptive_compaction=True,
+                      target_sample_size=2 ** 18, max_compacted_samples=2 ** 21)
+    total = 4096 * 512
+    fracs = [0.0207, 0.0215, 0.0221, 0.0210, 0.0218, 0.0221, 0.0209] * 10
+    for f in fracs:
+        t._prev_num_samples = f * total
+        t.calc_adaptive_compaction(4096)
+        assert t.pipeline.tracer.compaction == pytest.approx(0.03125), \
+            f"budget moved at frac={f} (oscillation regression)"
+
+    # a REAL spike (unpruned region opens up) must still grow immediately
+    t._prev_num_samples = 0.06 * total
+    t.calc_adaptive_compaction(4096)
+    assert t.pipeline.tracer.compaction == pytest.approx(0.125)

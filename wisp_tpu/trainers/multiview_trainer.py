@@ -145,11 +145,14 @@ class MultiviewTrainer(BaseTrainer):
             self._frac_window.pop(0)
         self._steps_since_retune += 1
         frac_hi = max(self._frac_window)
-        # 5% deadband on the grow side: a fraction a hair over a bucket edge (measured:
-        # 0.0840 vs edge 0.0833) otherwise re-grows right after a shrink, costing two
-        # recompiles for no quality effect — over-budget truncation is benign (step-major
-        # order drops late, occluded samples).
-        budget = min(1.0, 2.0 ** math.ceil(math.log2(max(frac * 1.5 / 1.05, 1.0 / 512))))
+        # 15% deadband on the grow side: per-VIEW valid-fraction variance near a bucket
+        # edge otherwise straddles the grow and shrink thresholds and the budget
+        # ping-pongs every window (observed on the lego-proxy headline run: fractions
+        # 0.0207-0.0221 oscillated 0.0312<->0.0625 each minute; the original 5% band was
+        # narrower than the ~7% view variance). Growing this late is safe: truncation
+        # only begins at frac > budget itself, and over-budget truncation is benign
+        # (step-major order drops late, occluded samples).
+        budget = min(1.0, 2.0 ** math.ceil(math.log2(max(frac * 1.5 / 1.15, 1.0 / 512))))
         shrink_to = min(1.0, 2.0 ** math.ceil(math.log2(max(frac_hi * 1.5, 1.0 / 512))))
         if budget > current + 1e-9:
             new_budget, why = budget, frac
