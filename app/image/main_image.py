@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
 
 import numpy as np
 
-from wisp_tpu.app_utils import default_log_setup
+from wisp_tpu.app_utils import apply_device, default_log_setup
 from wisp_tpu.config import (parse_config, configure, autoconfig, instantiate, print_config)
 from wisp_tpu.models.pipeline import Pipeline
 from wisp_tpu.models.grids import HashGrid
@@ -54,11 +54,13 @@ class ImageAppConfig:
     log_level: int = logging.INFO
     profile: bool = False
     pretrained: Optional[str] = None
+    device: str = "tpu"
 
 
 def main(argv=None):
     cfg = parse_config(ImageAppConfig, args=argv)
     default_log_setup(cfg.log_level)
+    apply_device(cfg.device)
 
     if not cfg.dataset.dataset_path:
         cfg.dataset.dataset_path = os.path.join(tempfile.gettempdir(), "wisp_tpu_test_img.png")

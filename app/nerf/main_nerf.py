@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
 
 import numpy as np
 
-from wisp_tpu.app_utils import default_log_setup
+from wisp_tpu.app_utils import apply_device, default_log_setup
 from wisp_tpu.config import parse_config, autoconfig, instantiate, print_config
 from wisp_tpu.accelstructs import OctreeAS, AxisAlignedBBoxAS
 from wisp_tpu.models.grids import HashGrid
@@ -65,6 +65,7 @@ NeRFAppConfig.__annotations__["grid"] = _grid_configs()
 def main(argv=None):
     cfg = parse_config(NeRFAppConfig, args=argv)
     default_log_setup(cfg.log_level)
+    apply_device(cfg.device)
 
     transform = instantiate(cfg.dataset_transform)
     train_dataset = instantiate(cfg.dataset, transform=transform)

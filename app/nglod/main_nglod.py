@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
 
 import numpy as np
 
-from wisp_tpu.app_utils import default_log_setup
+from wisp_tpu.app_utils import apply_device, default_log_setup
 from wisp_tpu.config import parse_config, autoconfig, instantiate, print_config
 from wisp_tpu.accelstructs import OctreeAS, MeshExtent
 from wisp_tpu.models.grids import OctreeGrid, HashGrid, TriplanarGrid
@@ -43,12 +43,14 @@ class NGLODAppConfig:
     tracker: ConfigTracker = None
     log_level: int = logging.INFO
     pretrained: Optional[str] = None
+    device: str = "tpu"
     valid_only: bool = False
 
 
 def main(argv=None):
     cfg = parse_config(NGLODAppConfig, args=argv)
     default_log_setup(cfg.log_level)
+    apply_device(cfg.device)
 
     if cfg.mesh_path:
         blas = OctreeAS.from_mesh(cfg.mesh_path, level=cfg.blas_level,

@@ -92,3 +92,41 @@ def test_adaptive_compaction_no_oscillation_at_bucket_edge():
     t._prev_num_samples = 0.06 * total
     t.calc_adaptive_compaction(4096)
     assert t.pipeline.tracer.compaction == pytest.approx(0.125)
+
+
+def test_adaptive_compaction_no_oscillation_at_high_view_variance():
+    # Regression (lego-proxy headline r3c): per-view fractions swing 0.0205<->0.0258 (26%
+    # variance). The 15% grow deadband alone still ping-ponged 0.0312<->0.0625 every ~70 s
+    # (each flip a full recompile): a low-view shrink WINDOW fit one bucket down, then the
+    # next high view re-grew. The SHRINK_MARGIN (1.3x) separates the thresholds ~1.5x:
+    # once grown to 0.0625, windows maxing at 0.0258 (0.0258*1.5*1.3 = 0.050 > 0.0312)
+    # must NOT shrink — the budget settles at 0.0625 and never flips again.
+    tracer = PackedRFTracer(num_steps=512, compaction=0.03125)
+    t = _bare_trainer(tracer, 4096, adaptive_compaction=True,
+                      target_sample_size=2 ** 18, max_compacted_samples=2 ** 21)
+    total = 4096 * 512
+    retunes = []
+    orig_refresh = t.refresh_pipeline
+
+    def _counting_refresh(p):
+        retunes.append(p.tracer.compaction)
+        orig_refresh(p)
+    t.refresh_pipeline = _counting_refresh
+
+    # alternate low/high views, including all-low stretches longer than the shrink window
+    fracs = ([0.0205, 0.0258, 0.0211, 0.0243] * 20
+             + [0.0205, 0.0207, 0.0209] * 40       # 120 consecutive low views
+             + [0.0258, 0.0205] * 20)
+    for f in fracs:
+        t._prev_num_samples = f * total
+        t.calc_adaptive_compaction(4096)
+    assert t.pipeline.tracer.compaction == pytest.approx(0.0625)
+    assert len(retunes) == 1, \
+        f"budget must settle after one grow, saw retunes: {retunes}"
+
+    # a genuine sustained drop (e.g. after pruning) must still shrink: fractions at
+    # 0.009 fit the 0.0156 bucket even with the 1.3x margin (0.009*1.95 = 0.0176 -> 0.0312)
+    for _ in range(t.FRAC_WINDOW_STEPS + 1):
+        t._prev_num_samples = 0.009 * total
+        t.calc_adaptive_compaction(4096)
+    assert t.pipeline.tracer.compaction == pytest.approx(0.03125)

@@ -63,6 +63,9 @@ class ConfigMultiviewTrainer(ConfigBaseTrainer):
 class MultiviewTrainer(BaseTrainer):
     # compaction shrink decisions use the max valid fraction over this many recent steps
     FRAC_WINDOW_STEPS = 32
+    # shrink only when the windowed-max fraction fits the target bucket with this much
+    # extra room — keeps the grow/shrink thresholds ~1.5x apart (see calc_adaptive_compaction)
+    SHRINK_MARGIN = 1.3
 
     def __init__(self, cfg: ConfigMultiviewTrainer, pipeline, train_dataset,
                  validation_dataset=None, tracker=None, scene_state=None, device=None,
@@ -145,15 +148,19 @@ class MultiviewTrainer(BaseTrainer):
             self._frac_window.pop(0)
         self._steps_since_retune += 1
         frac_hi = max(self._frac_window)
-        # 15% deadband on the grow side: per-VIEW valid-fraction variance near a bucket
-        # edge otherwise straddles the grow and shrink thresholds and the budget
-        # ping-pongs every window (observed on the lego-proxy headline run: fractions
-        # 0.0207-0.0221 oscillated 0.0312<->0.0625 each minute; the original 5% band was
-        # narrower than the ~7% view variance). Growing this late is safe: truncation
-        # only begins at frac > budget itself, and over-budget truncation is benign
-        # (step-major order drops late, occluded samples).
+        # Hysteresis: the grow threshold (frac > 0.77*budget, via the 15% deadband) and the
+        # shrink threshold (frac_hi < 0.51*budget, via the 1.3x SHRINK_MARGIN) are ~1.5x
+        # apart, so per-VIEW valid-fraction variance below 50% cannot ping-pong the budget
+        # across a po2 bucket edge (each flip is a full recompile over the tunnel).
+        # Observed on the lego-proxy headline runs: 7% variance (0.0207-0.0221) broke the
+        # original 5% grow band, and 26% variance (0.0205-0.0258) broke the 15% band alone
+        # because shrink still fired whenever a low-view window fit one bucket down.
+        # Growing late is safe: truncation only begins at frac > budget itself, and
+        # over-budget truncation is benign (step-major order drops late, occluded samples).
+        # Shrinking late costs at most one extra bucket (2x) of gather indices.
         budget = min(1.0, 2.0 ** math.ceil(math.log2(max(frac * 1.5 / 1.15, 1.0 / 512))))
-        shrink_to = min(1.0, 2.0 ** math.ceil(math.log2(max(frac_hi * 1.5, 1.0 / 512))))
+        shrink_to = min(1.0, 2.0 ** math.ceil(
+            math.log2(max(frac_hi * 1.5 * self.SHRINK_MARGIN, 1.0 / 512))))
         if budget > current + 1e-9:
             new_budget, why = budget, frac
         elif len(self._frac_window) >= self.FRAC_WINDOW_STEPS \

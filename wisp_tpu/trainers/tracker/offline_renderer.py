@@ -23,11 +23,17 @@ log = logging.getLogger(__name__)
 
 
 class OfflineRenderer:
-    def __init__(self, render_res: Tuple[int, int] = (1024, 1024), render_batch: int = 0,
+    # Default rays-per-trace chunk. render_batch=0 (trace ALL rays in one jit call) OOMs on
+    # TPU at snapshot resolutions: 512^2 rays x 512 steps of [N, 2] interval buffers pad
+    # 64x under the (8,128) tile layout (2 lanes -> 128) = 137 GB HBM. 16k rays x 512 steps
+    # keeps every per-sample intermediate < 1 GB padded.
+    DEFAULT_RENDER_BATCH = 2 ** 14
+
+    def __init__(self, render_res: Tuple[int, int] = (1024, 1024), render_batch: int = -1,
                  shading_mode: str = "rb", matcap_path: Optional[str] = None,
                  shadow: bool = False, ao: bool = False, perf: bool = False):
         self.width, self.height = render_res
-        self.render_batch = render_batch
+        self.render_batch = self.DEFAULT_RENDER_BATCH if render_batch < 0 else render_batch
         self.shading_mode = shading_mode
         self.matcap_path = matcap_path
         self.shadow = shadow
@@ -43,12 +49,17 @@ class OfflineRenderer:
                 lambda p, r: p(rays=r), static_argnames=())
         n = rays.origins.shape[0]
         chunk = self.render_batch if self.render_batch > 0 else n
+        origins, dirs = np.asarray(rays.origins), np.asarray(rays.dirs)
         outs = []
         for i in range(0, n, chunk):
-            r = Rays(jnp.asarray(np.asarray(rays.origins)[i:i + chunk]),
-                     jnp.asarray(np.asarray(rays.dirs)[i:i + chunk]),
-                     rays.dist_min, rays.dist_max)
-            outs.append(jax.device_get(self._infer(pipeline, r)))
+            o, d = origins[i:i + chunk], dirs[i:i + chunk]
+            pad = chunk - o.shape[0] if n > chunk else 0
+            if pad > 0:  # pad the tail chunk: one compiled shape per resolution
+                o = np.concatenate([o, np.repeat(o[-1:], pad, axis=0)], axis=0)
+                d = np.concatenate([d, np.repeat(d[-1:], pad, axis=0)], axis=0)
+            r = Rays(jnp.asarray(o), jnp.asarray(d), rays.dist_min, rays.dist_max)
+            out = jax.device_get(self._infer(pipeline, r))
+            outs.append(out[:chunk - pad] if pad > 0 else out)
         rb = RenderBuffer.cat(outs) if len(outs) > 1 else outs[0]
         # Surface raytrace interval-buffer saturation (fixed-capacity DDA can drop occupied
         # intervals; the reference's unbounded nuggets cannot — octree_as.raytrace note).
