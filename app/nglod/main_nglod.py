@@ -19,7 +19,7 @@ from wisp_tpu.app_utils import apply_device, default_log_setup
 from wisp_tpu.config import parse_config, autoconfig, instantiate, print_config
 from wisp_tpu.accelstructs import OctreeAS, MeshExtent
 from wisp_tpu.models.grids import OctreeGrid, HashGrid, TriplanarGrid
-from wisp_tpu.models.nefs.neural_sdf import NeuralSDF
+from wisp_tpu.models.nefs.neural_sdf import NeuralSDF, NeuralSDFTex
 from wisp_tpu.models.pipeline import Pipeline
 from wisp_tpu.tracers.packed_sdf_tracer import PackedSDFTracer
 from wisp_tpu.datasets.formats.mesh_sampled_sdf import MeshSampledSDFDataset
@@ -36,7 +36,7 @@ class NGLODAppConfig:
     blas_level: int = 5
     num_samples_on_mesh: int = 1000000
     grid: autoconfig(OctreeGrid, HashGrid.from_geometric, TriplanarGrid) = None
-    nef: autoconfig(NeuralSDF) = None
+    nef: autoconfig(NeuralSDF, NeuralSDFTex) = None
     tracer: autoconfig(PackedSDFTracer) = None
     dataset: autoconfig(MeshSampledSDFDataset, OctreeSampledSDFDataset) = None
     trainer: ConfigSDFTrainer = None
@@ -72,6 +72,25 @@ def main(argv=None):
     if "Octree" in type(cfg.dataset).__name__:
         assert OctreeSampledSDFDataset.supports_blas(blas)
         train_dataset = instantiate(cfg.dataset, blas=blas)
+    elif getattr(cfg.dataset, "sample_tex", False):
+        # texture-SDF path (reference mesh_sdf_dataset.py:197-205): a materialed .obj is
+        # loaded by the dataset itself; without a mesh path the procedural sphere gets a
+        # planar-projected UV map + smooth procedural texture so NeuralSDFTex has a
+        # learnable rgb ground truth
+        if cfg.mesh_path:
+            train_dataset = instantiate(cfg.dataset, dataset_path=cfg.mesh_path)
+        else:
+            texv = ((vertices[:, :2] + 1.0) / 2.0).astype(np.float32)
+            texf = faces.copy()
+            uu, vv = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64))
+            tex = np.stack([0.5 + 0.5 * np.sin(6.28 * uu),
+                            0.5 + 0.5 * np.cos(6.28 * vv),
+                            0.5 + 0.5 * np.sin(3.14 * (uu + vv))],
+                           axis=-1).astype(np.float32)
+            train_dataset = instantiate(
+                cfg.dataset, vertices=vertices, faces=faces, texv=texv, texf=texf,
+                materials=[{"diffuse_texname": tex}],
+                face_mats=np.zeros(len(faces), np.int32))
     else:
         train_dataset = instantiate(cfg.dataset, vertices=vertices, faces=faces)
 

@@ -75,6 +75,12 @@ def main():
         dense_matmul = None
     early_stop = float(os.environ.get("BENCH_EARLY_STOP", 0.01))
     lod_spacing_scale = float(os.environ.get("BENCH_LOD_SCALE", 1.0))
+    # stride-2 occupancy march (round 4 fast path): halves the march gather count when
+    # sample spacing < voxel size; PSNR-gated (test_nerf_fast_path_quality). 1 = exact.
+    march_stride = int(os.environ.get("BENCH_MARCH_STRIDE", 2))
+    # stochastic single-corner hash backward (round 4 fast path): unbiased, 8x fewer
+    # backward scatter indices (ops/grid.py interp_rows_stoch). PSNR-gated. 0 = exact.
+    stoch_grad = os.environ.get("BENCH_STOCH", "1") == "1"
 
     if sparse:
         # steady-state training occupancy: sparse blas carved to the synthetic scene
@@ -121,6 +127,7 @@ def main():
                                        multiscale_type="cat", feature_std=1e-9,
                                        codebook_bitwidth=bitwidth, min_grid_res=16,
                                        max_grid_res=512, dense_lod_matmul=dense_matmul,
+                                       stoch_grad=stoch_grad,
                                        key=jax.random.PRNGKey(1))
         nef = NeuralRadianceField(grid=grid, view_embedder="positional", view_multires=4,
                                   hidden_dim=64, num_layers=1, bias=True,
@@ -129,7 +136,8 @@ def main():
                                 bg_color=(0.0, 0.0, 0.0), compaction=compaction_in,
                                 early_stop=early_stop_in,
                                 lod_spacing_scale=lod_spacing_scale,
-                                march_budget=march_budget)
+                                march_budget=march_budget,
+                                march_stride=march_stride)
         pipeline = Pipeline(nef=nef, tracer=tracer)
 
         cfg = ConfigMultiviewTrainer(
@@ -206,7 +214,8 @@ def main():
             "compile_s": round(compile_s, 1),
             "num_lods": num_lods, "bitwidth": bitwidth, "compaction": compaction,
             "early_stop": early_stop, "dense_matmul": dense_matmul,
-            "lod_spacing_scale": lod_spacing_scale,
+            "lod_spacing_scale": lod_spacing_scale, "march_stride": march_stride,
+            "stoch_grad": stoch_grad,
             "valid_sample_frac": round(float(aux.get("num_valid_samples", 0.0))
                                        / (num_rays * samples_per_ray), 4),
             "samples_per_sec": round(num_rays * samples_per_ray * iters / dt, 1),

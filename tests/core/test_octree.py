@@ -207,6 +207,29 @@ class TestRaymarch:
             out = blas.raymarch(rays, raymarch_type=t, num_samples=16)
             assert np.asarray(out.mask).sum() > 0, t
 
+    def test_strided_march_superset_and_density(self):
+        """stride=2 occupancy marching: (a) strided mask ⊇ exact mask except thin-chord
+        cells skipped between strided tests (none exist for this axis-aligned half-space
+        blas), (b) per-sample density estimate is carried, (c) stride=1 path unchanged."""
+        blas = self._blas()
+        rays = Rays(origins=jnp.asarray([[-3.0, 0.1, 0.1], [-3.0, -0.3, 0.2]]),
+                    dirs=jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.05, 0.0]]),
+                    dist_min=0.0, dist_max=10.0)
+        exact = blas.raymarch(rays, raymarch_type="ray", num_samples=64)
+        strided = blas.raymarch(rays, raymarch_type="ray", num_samples=64, stride=2)
+        me = np.asarray(exact.mask)
+        ms = np.asarray(strided.mask)
+        # occupied region is the x<0 half-space: every exact-valid sample has a strided
+        # test within one sample of it inside the same region -> superset holds exactly
+        assert np.all(ms[me]), "strided mask must cover the exact mask here"
+        # strided extras are confined to the 1-sample boundary shell
+        extra = ms & ~me
+        assert extra.sum() <= 2 * rays.origins.shape[0]
+        assert strided.cell_density is not None
+        assert strided.cell_density.shape == ms.shape
+        # samples deep inside occupied space carry the (zero-initialized) density estimate
+        assert np.all(np.asarray(strided.cell_density)[ms] >= 0.0)
+
     def test_aabb_blas(self):
         blas = AxisAlignedBBoxAS()
         rays = Rays(origins=jnp.asarray([[0.0, 0.0, -3.0]]),

@@ -370,21 +370,27 @@ class OctreeAS(Module, BaseAS):
     # -- raymarch (reference octree_as.py:188-374) ---------------------------------------------
     def raymarch(self, rays: Rays, raymarch_type: str = "voxel", num_samples: int = 64,
                  level: Optional[int] = None, key=None,
-                 budget: Optional[int] = None) -> ASRaymarchResults:
+                 budget: Optional[int] = None,
+                 stride: int = 1) -> ASRaymarchResults:
         """``budget`` (voxel mode only): per-ray fine-sample cap; the marcher keeps the
-        first budget//num_samples occupied voxels per ray. Default 1024."""
+        first budget//num_samples occupied voxels per ray. Default 1024.
+        ``stride`` ('ray'/'uniform' modes): occupancy is gathered at every stride-th
+        sample and OR-broadcast to the samples between (see _sample_grid) — halves the
+        march's gather index count at stride 2 when sample spacing is finer than a
+        voxel."""
         if level is None:
             level = self.max_level
         if raymarch_type == "ray":
-            return self._raymarch_ray(rays, num_samples, key)
+            return self._raymarch_ray(rays, num_samples, key, stride=stride)
         elif raymarch_type == "voxel":
             return self._raymarch_voxel(rays, num_samples, level, key,
                                         budget=budget or 1024)
         elif raymarch_type == "uniform":
-            return self._raymarch_uniform(rays, num_samples, key)
+            return self._raymarch_uniform(rays, num_samples, key, stride=stride)
         raise ValueError(f"Unknown raymarch_type {raymarch_type!r}")
 
-    def _sample_grid(self, rays: Rays, depths: jax.Array) -> ASRaymarchResults:
+    def _sample_grid(self, rays: Rays, depths: jax.Array,
+                     stride: int = 1) -> ASRaymarchResults:
         coords = rays.origins[:, None, :] + rays.dirs[:, None, :] * depths[..., None]
         deltas = jnp.diff(depths, axis=-1,
                           append=depths[:, -1:] + (depths[:, -1:] - depths[:, -2:-1]))
@@ -394,6 +400,34 @@ class OctreeAS(Module, BaseAS):
             # boolean bitfield gather.
             inside = jnp.all((coords >= -1.0) & (coords < 1.0), axis=-1)
             res = 2 ** self.max_level
+            if stride > 1:
+                # Strided occupancy march: the gather is the march's entire cost
+                # (~8.6 ns per index, CLAUDE.md cost model) and at the flagship shapes the
+                # sample spacing is ~2.3x finer than a max_level voxel — consecutive
+                # samples mostly re-test the SAME cell. Gather every stride-th sample and
+                # mark a sample occupied when EITHER bracketing strided test hit (an
+                # approximate superset along the ray: only cells whose chord is shorter
+                # than stride·spacing AND contain no strided sample are missed — the same
+                # class of miss the uniform-depth marcher already has vs exact DDA).
+                # Halves the march index count at stride 2; PSNR-gated by
+                # tests/apps/test_nerf.py::test_nerf_fast_path_quality.
+                n, s = depths.shape
+                nc = -(-s // stride)
+                c_str = coords[:, ::stride]                       # [R, nc, 3]
+                ins_c = jnp.all((c_str >= -1.0) & (c_str < 1.0), axis=-1)
+                q = quantize_points_jnp(c_str, self.max_level)
+                flat = (q[..., 0] * res + q[..., 1]) * res + q[..., 2]
+                vals_c = jnp.where(ins_c, self.cell_density[flat], -1.0)  # [R, nc]
+                occ_c = vals_c >= 0.0
+                occ_next = jnp.concatenate(
+                    [occ_c[:, 1:], jnp.zeros((n, 1), bool)], axis=1)
+                occ_or = occ_c | occ_next
+                mask = jnp.repeat(occ_or, stride, axis=1)[:, :s] & inside
+                # density estimate: nearest strided test (it feeds the transmittance
+                # early-termination heuristic only)
+                dens = jnp.repeat(jnp.maximum(vals_c, 0.0), stride, axis=1)[:, :s]
+                return ASRaymarchResults(samples=coords, depth_samples=depths,
+                                         deltas=deltas, mask=mask, cell_density=dens)
             q = quantize_points_jnp(coords, self.max_level)
             flat = (q[..., 0] * res + q[..., 1]) * res + q[..., 2]
             vals = jnp.where(inside, self.cell_density[flat], -1.0)
@@ -404,7 +438,8 @@ class OctreeAS(Module, BaseAS):
         return ASRaymarchResults(samples=coords, depth_samples=depths, deltas=deltas,
                                  mask=occ)
 
-    def _raymarch_ray(self, rays: Rays, num_samples: int, key) -> ASRaymarchResults:
+    def _raymarch_ray(self, rays: Rays, num_samples: int, key,
+                      stride: int = 1) -> ASRaymarchResults:
         """Uniform (optionally jittered) samples over the ray's AABB span, occupancy-masked
         (reference octree_as.py:247-309; compaction replaced by masking)."""
         t_near, t_far = self.aabb_intersect(rays)
@@ -416,7 +451,7 @@ class OctreeAS(Module, BaseAS):
         else:
             u = u + 0.5
         depths = t_near[:, None] + span[:, None] * (u / num_samples)
-        result = self._sample_grid(rays, depths)
+        result = self._sample_grid(rays, depths, stride=stride)
         hit = (t_far > t_near)[:, None]
         return ASRaymarchResults(samples=result.samples, depth_samples=result.depth_samples,
                                  deltas=span[:, None] / num_samples,
@@ -503,7 +538,8 @@ class OctreeAS(Module, BaseAS):
                                  deltas=jnp.full_like(depths, voxel / num_samples),
                                  mask=mask, cell_density=cell_density)
 
-    def _raymarch_uniform(self, rays: Rays, num_samples: int, key) -> ASRaymarchResults:
+    def _raymarch_uniform(self, rays: Rays, num_samples: int, key,
+                          stride: int = 1) -> ASRaymarchResults:
         """Equi-spaced global step over the whole AABB diagonal
         (reference octree_as.py:311-374)."""
         diag = 2.0 * float(np.sqrt(3))
@@ -516,7 +552,7 @@ class OctreeAS(Module, BaseAS):
         else:
             u = u + 0.5
         depths = t_near[:, None] + u * step
-        result = self._sample_grid(rays, depths)
+        result = self._sample_grid(rays, depths, stride=stride)
         valid = depths < t_far[:, None]
         return ASRaymarchResults(samples=result.samples, depth_samples=depths,
                                  deltas=jnp.full_like(depths, step),

@@ -35,6 +35,7 @@ class HashGrid(BLASGrid):
                  codebook_bitwidth: int = 8,
                  coord_dim: int = 3,
                  dense_lod_matmul: Optional[str] = None,
+                 stoch_grad: bool = False,
                  *,
                  key=None):
         assert coord_dim in (2, 3)
@@ -50,6 +51,10 @@ class HashGrid(BLASGrid):
         # TPU fast path: dense-table LODs interpolate via one MXU matmul (ops/grid.py
         # _lod_features_dense_matmul) instead of 8 gathers + 8 backward scatters.
         self.dense_lod_matmul = dense_lod_matmul
+        # TPU fast path: hash-LOD backward scatters ONE corner per sample (drawn with
+        # prob = its trilinear weight — unbiased; ops/grid.py interp_rows_stoch). Cuts
+        # the dominant backward scatter-index count 8x. PSNR-gated.
+        self.stoch_grad = stoch_grad
 
         self.frozen = False
         self.resolutions = tuple(int(r) for r in resolutions)
@@ -76,14 +81,16 @@ class HashGrid(BLASGrid):
                     num_lods: int = 1, multiscale_type: str = "sum",
                     feature_std: float = 0.0, feature_bias: float = 0.0,
                     codebook_bitwidth: int = 8, coord_dim: int = 3,
-                    dense_lod_matmul: Optional[str] = None, *, key=None) -> "HashGrid":
+                    dense_lod_matmul: Optional[str] = None, stoch_grad: bool = False,
+                    *, key=None) -> "HashGrid":
         """Octree sampling pattern: resolutions 2^(base_lod) .. 2^(base_lod+num_lods-1)."""
         octree_lods = [base_lod + x for x in range(num_lods)]
         resolutions = [2 ** lod for lod in octree_lods]
         return cls(blas=blas, feature_dim=feature_dim, resolutions=resolutions,
                    multiscale_type=multiscale_type, feature_std=feature_std,
                    feature_bias=feature_bias, codebook_bitwidth=codebook_bitwidth,
-                   coord_dim=coord_dim, dense_lod_matmul=dense_lod_matmul, key=key)
+                   coord_dim=coord_dim, dense_lod_matmul=dense_lod_matmul,
+                   stoch_grad=stoch_grad, key=key)
 
     @classmethod
     def from_geometric(cls, blas=None, feature_dim: int = 2, num_lods: int = 16,
@@ -91,6 +98,7 @@ class HashGrid(BLASGrid):
                        feature_bias: float = 0.0, codebook_bitwidth: int = 8,
                        min_grid_res: int = 16, max_grid_res: int = 2048,
                        coord_dim: int = 3, dense_lod_matmul: Optional[str] = None,
+                       stoch_grad: bool = False,
                        *, key=None) -> "HashGrid":
         """Geometric b-growth per instant-ngp Section 3 eq. 2-3
         (reference hash_grid.py:124-162)."""
@@ -99,7 +107,8 @@ class HashGrid(BLASGrid):
         return cls(blas=blas, feature_dim=feature_dim, resolutions=resolutions,
                    multiscale_type=multiscale_type, feature_std=feature_std,
                    feature_bias=feature_bias, codebook_bitwidth=codebook_bitwidth,
-                   coord_dim=coord_dim, dense_lod_matmul=dense_lod_matmul, key=key)
+                   coord_dim=coord_dim, dense_lod_matmul=dense_lod_matmul,
+                   stoch_grad=stoch_grad, key=key)
 
     @classmethod
     def from_resolutions(cls, blas=None, feature_dim: int = 2,
@@ -152,7 +161,7 @@ class HashGrid(BLASGrid):
                 flat, self.codebook.resolutions, self.codebook_bitwidth,
                 num_compute - 1,
                 table, self.codebook.begin_idxes, self.codebook.num_feats,
-                dense_matmul=self.dense_lod_matmul)
+                dense_matmul=self.dense_lod_matmul, stoch_grad=self.stoch_grad)
             if num_compute < self.num_lods:
                 feats = jnp.pad(feats, ((0, 0), (0, width - feats.shape[-1])))
 

@@ -62,6 +62,48 @@ def _gather_rows_bwd(res, g):
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@jax.custom_vjp
+def interp_rows_stoch(table: jax.Array, idx: jax.Array, weights: jax.Array,
+                      cidx: jax.Array) -> jax.Array:
+    """Trilinear row interpolation with a STOCHASTIC single-corner backward.
+
+    table: [S, F]; idx: [C, N] corner rows; weights: [C, N] (columns sum to 1);
+    cidx: [N] — one corner row per sample, pre-drawn with probability = its weight.
+
+    Forward is exact (identical to the gather_rows path). Backward scatters the FULL
+    cotangent g to the one drawn corner: E[dtable] = sum_c w_c * g = the exact gradient
+    (unbiased — the estimator trades per-step variance for a 2^d-fold cut in backward
+    scatter indices, the dominant step cost on TPU: the column scatter-add runs at
+    ~8 ns/index and the exact backward pays C*F indices per sample per LOD). Variance
+    averages out across the many samples touching each table row per step; quality is
+    gated by tests/apps/test_nerf.py::test_nerf_fast_path_quality and the lego-proxy gate.
+    No reference counterpart (the CUDA backward atomicAdds all 8 corners,
+    hashgrid_interpolate_cuda.cu:84-212) — this is a TPU-economics redesign.
+    """
+    c, n = idx.shape
+    f = table.shape[-1]
+    rows = table[idx.reshape(-1)].reshape(c, n, f)
+    return jnp.sum(rows * weights[..., None], axis=0)
+
+
+def _irs_fwd(table, idx, weights, cidx):
+    return interp_rows_stoch(table, idx, weights, cidx), \
+        (cidx, table.shape[0], idx.shape)
+
+
+def _irs_bwd(res, g):
+    cidx, s, idx_shape = res
+    cols = [jnp.zeros((s,), g.dtype).at[cidx].add(g[:, f]) for f in range(g.shape[-1])]
+    dtable = jnp.stack(cols, axis=-1)
+    return (dtable,
+            np.zeros(idx_shape, dtype=jax.dtypes.float0),
+            jnp.zeros(idx_shape, dtype=g.dtype),
+            np.zeros(idx_shape[1:], dtype=jax.dtypes.float0))
+
+
+interp_rows_stoch.defvjp(_irs_fwd, _irs_bwd)
+
+
 def _corner_offsets(dim: int) -> np.ndarray:
     """[2^dim, dim] binary corner offsets, ordered to match the reference coefficient order
     (ops/grid.py:56-71): corner index bit k toggles coordinate dim-1-k."""
@@ -98,12 +140,15 @@ def _hash_index_axes(axes, res: int, codebook_size: int) -> jax.Array:
     return idx.astype(jnp.int32)
 
 
-def _lod_features(coords_axes, res: int, codebook_size: int, level_table: jax.Array):
+def _lod_features(coords_axes, res: int, codebook_size: int, level_table: jax.Array,
+                  stoch_u=None):
     """One LOD's interpolated features.
 
     Args:
         coords_axes: list of d arrays [N] (the sample coords, split per axis).
         level_table: [S_l, F] features of this LOD.
+        stoch_u: optional [N] uniforms — when given, the backward uses the stochastic
+            single-corner estimator (see interp_rows_stoch); forward is identical.
 
     Returns:
         [F] list of [N] feature arrays (to be stacked by the caller).
@@ -133,8 +178,17 @@ def _lod_features(coords_axes, res: int, codebook_size: int, level_table: jax.Ar
 
     idx = _hash_index_axes(idx_axes, res, codebook_size)           # [C, N]
     c, n = idx.shape
-    rows = gather_rows(level_table, idx.reshape(-1))               # [C*N, F] one gather
     f_dim = level_table.shape[-1]
+    if stoch_u is not None:
+        # draw one corner per sample with prob = its trilinear weight (weights columns
+        # sum to 1; scale u by the actual sum for numerical safety)
+        wcum = jnp.cumsum(weights, axis=0)                         # [C, N]
+        chosen = jnp.sum(wcum < stoch_u[None, :] * wcum[-1], axis=0)
+        cidx = jnp.take_along_axis(idx, jnp.minimum(chosen, c - 1)[None, :],
+                                   axis=0)[0]
+        blended = interp_rows_stoch(level_table, idx, weights, cidx)
+        return [blended[:, f] for f in range(f_dim)]
+    rows = gather_rows(level_table, idx.reshape(-1))               # [C*N, F] one gather
     rows = rows.reshape(c, n, f_dim) * weights[..., None]          # [C, N, F]
     blended = jnp.sum(rows, axis=0)                                # [N, F]
     return [blended[:, f] for f in range(f_dim)]
@@ -235,12 +289,22 @@ _lod_features_dense_matmul_ckpt = partial(jax.checkpoint, static_argnums=(1, 3))
 
 
 def _hashgrid_impl(coords, resolutions, codebook_bitwidth, lod_idx, codebook,
-                   codebook_first_idx, codebook_sizes, dense_matmul):
+                   codebook_first_idx, codebook_sizes, dense_matmul, stoch_grad):
     codebook_size = 2 ** codebook_bitwidth
     dim = coords.shape[-1]
     coords_axes = [coords[:, d] for d in range(dim)]
     hash_fn = (_lod_features_ckpt if coords.shape[0] > _HASH_REMAT_THRESHOLD
                else _lod_features)
+    u0 = None
+    if stoch_grad:
+        # per-sample uniforms for the stochastic-corner backward, derived from the sample
+        # position itself (shader-style sin hash) — samples are jittered every step, so
+        # the draw is fresh per step without plumbing an rng key through the nef
+        phase = coords_axes[0] * 12.9898 + coords_axes[1] * 78.233
+        if dim == 3:
+            phase = phase + coords_axes[2] * 37.719
+        u0 = jnp.abs(jnp.sin(phase)) * 43758.5453
+        u0 = u0 - jnp.floor(u0)
     feats = []
     for i in range(lod_idx + 1):
         res = int(resolutions[i])
@@ -248,6 +312,11 @@ def _hashgrid_impl(coords, resolutions, codebook_bitwidth, lod_idx, codebook,
         if dense_matmul is not None and res ** dim <= codebook_size:
             feats.extend(_lod_features_dense_matmul_ckpt(coords_axes, res, level,
                                                          dense_matmul))
+        elif u0 is not None:
+            # decorrelate the corner draw across LODs (golden-ratio shift)
+            u_l = u0 + 0.61803398875 * (i + 1)
+            feats.extend(hash_fn(coords_axes, res, codebook_size, level,
+                                 u_l - jnp.floor(u_l)))
         else:
             feats.extend(hash_fn(coords_axes, res, codebook_size, level))
     # [L*F, N] -> [N, L*F]: one transpose at the boundary to the decoder
@@ -261,7 +330,8 @@ def hashgrid(coords: jax.Array,
              codebook: jax.Array,
              codebook_first_idx: Sequence[int],
              codebook_sizes: Sequence[int],
-             dense_matmul: str = None) -> jax.Array:
+             dense_matmul: str = None,
+             stoch_grad: bool = False) -> jax.Array:
     """Multi-LOD hash interpolation (reference ops/grid.py:128-144).
 
     Args:
@@ -272,6 +342,9 @@ def hashgrid(coords: jax.Array,
         dense_matmul: None (always gather) or 'bf16'/'f32'/'f32_highest' — dense-table LODs
             (res^d <= 2^bitwidth) interpolate via one MXU matmul instead of 2^d gathers
             (see :func:`_lod_features_dense_matmul`; 3-4x faster fwd+bwd on TPU).
+        stoch_grad: hash-gather LODs use the stochastic single-corner backward
+            (:func:`interp_rows_stoch` — unbiased, 2^d-fold fewer backward scatter
+            indices). Forward values are identical either way.
 
     Returns:
         [N, (lod_idx+1) * F]: per-LOD features concatenated (feature-dim fastest, matching
@@ -281,7 +354,7 @@ def hashgrid(coords: jax.Array,
                           int(codebook_bitwidth), int(lod_idx), codebook,
                           tuple(int(i) for i in codebook_first_idx),
                           tuple(int(s) for s in codebook_sizes),
-                          dense_matmul)
+                          dense_matmul, bool(stoch_grad))
 
 
 def hashgrid_query(coords: jax.Array,

@@ -141,14 +141,30 @@ def _compute_sdf_host(vertices, faces, points, point_chunk, tri_chunk) -> np.nda
     return out
 
 
-def closest_point(vertices, faces, points) -> Tuple[np.ndarray, np.ndarray]:
-    """(closest surface points [N,3], distances [N]) — reference closest_point.py."""
+def closest_point(vertices, faces, points,
+                  point_chunk: int = 16384
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(distances [N], closest surface points [N,3], closest triangle indices [N]) —
+    reference closest_point.py:17-60 return order. Chunked over points so the pairwise
+    [P, T] candidate buffer stays bounded; host-pinned like compute_sdf."""
+    from wisp_tpu.datasets.utils import host_device_ctx
     v = np.asarray(vertices, dtype=np.float32)
     f = np.asarray(faces, dtype=np.int32)
-    pts = jnp.asarray(points, dtype=jnp.float32)
-    va, vb, vc = (jnp.asarray(v[f[:, 0]]), jnp.asarray(v[f[:, 1]]), jnp.asarray(v[f[:, 2]]))
-    cp = closest_point_on_triangle(pts[:, None, :], va[None], vb[None], vc[None])
-    d2 = jnp.sum((pts[:, None, :] - cp) ** 2, axis=-1)
-    tmin = jnp.argmin(d2, axis=-1)
-    nearest = jnp.take_along_axis(cp, tmin[:, None, None], axis=1)[:, 0]
-    return np.asarray(nearest), np.asarray(jnp.sqrt(jnp.min(d2, axis=-1)))
+    pts_all = np.asarray(points, dtype=np.float32)
+    dist = np.empty((len(pts_all),), np.float32)
+    nearest = np.empty((len(pts_all), 3), np.float32)
+    tidx = np.empty((len(pts_all),), np.int64)
+    with host_device_ctx():
+        va = jnp.asarray(v[f[:, 0]])
+        vb = jnp.asarray(v[f[:, 1]])
+        vc = jnp.asarray(v[f[:, 2]])
+        for i in range(0, len(pts_all), point_chunk):
+            pts = jnp.asarray(pts_all[i:i + point_chunk])
+            cp = closest_point_on_triangle(pts[:, None, :], va[None], vb[None], vc[None])
+            d2 = jnp.sum((pts[:, None, :] - cp) ** 2, axis=-1)
+            tmin = jnp.argmin(d2, axis=-1)
+            nearest[i:i + point_chunk] = np.asarray(
+                jnp.take_along_axis(cp, tmin[:, None, None], axis=1)[:, 0])
+            dist[i:i + point_chunk] = np.asarray(jnp.sqrt(jnp.min(d2, axis=-1)))
+            tidx[i:i + point_chunk] = np.asarray(tmin)
+    return dist, nearest, tidx

@@ -17,15 +17,51 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
-def load_obj(path: str, load_materials: bool = False):
-    """Parse an OBJ file → (vertices [V,3] f32, faces [F,3] i32[, texv, texf, mats]).
+def _load_mtl(path: str) -> Dict[str, dict]:
+    """Parse a .mtl file → {name: material dict}. Understands Kd (diffuse color) and
+    map_Kd (diffuse texture image, loaded via ops.image.load_rgb) — the two fields the
+    reference's texture sampler consumes (sample_tex.py:38-48)."""
+    mats: Dict[str, dict] = {}
+    cur = None
+    base = os.path.dirname(path)
+    if not os.path.exists(path):
+        log.warning(f"mtllib {path} not found; materials will be empty")
+        return mats
+    with open(path) as fh:
+        for line in fh:
+            parts = line.strip().split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if parts[0] == "newmtl":
+                cur = parts[1]
+                mats[cur] = {}
+            elif parts[0] == "Kd" and cur is not None:
+                mats[cur]["diffuse"] = np.asarray([float(x) for x in parts[1:4]],
+                                                  np.float32)
+            elif parts[0] == "map_Kd" and cur is not None:
+                tex_path = parts[-1]
+                if not os.path.isabs(tex_path):
+                    tex_path = os.path.join(base, tex_path)
+                try:
+                    from wisp_tpu.ops.image.io import load_rgb
+                    mats[cur]["diffuse_texname"] = load_rgb(tex_path)
+                except Exception as e:  # noqa: BLE001
+                    log.warning(f"failed to load texture {tex_path}: {e}")
+    return mats
 
-    Quads and n-gons are fan-triangulated. With ``load_materials``, texture coords +
-    per-face material ids are returned too (reference load_obj returns the same bundle).
+
+def load_obj(path: str, load_materials: bool = False):
+    """Parse an OBJ file → (vertices [V,3] f32, faces [F,3] i32) or, with
+    ``load_materials``, (v, f, texv [TV,2], texf [F,3], face_mats [F] i32,
+    materials list-of-dicts) — the bundle the reference's tinyobjloader wrapper returns
+    (load_obj.py) and closest_tex consumes. Materials come from ``mtllib`` .mtl files
+    (Kd diffuse color + map_Kd texture image).
+
+    Quads and n-gons are fan-triangulated.
     """
     vertices, faces = [], []
     texcoords, texfaces = [], []
-    materials: Dict[str, dict] = {}
+    mat_defs: Dict[str, dict] = {}
     face_mats = []
     cur_mat = -1
     mat_names = []
@@ -40,6 +76,11 @@ def load_obj(path: str, load_materials: bool = False):
                 vertices.append([float(x) for x in parts[1:4]])
             elif tag == "vt":
                 texcoords.append([float(x) for x in parts[1:3]])
+            elif tag == "mtllib" and load_materials:
+                mtl_path = parts[1]
+                if not os.path.isabs(mtl_path):
+                    mtl_path = os.path.join(os.path.dirname(path), mtl_path)
+                mat_defs.update(_load_mtl(mtl_path))
             elif tag == "usemtl" and load_materials:
                 name = parts[1]
                 if name not in mat_names:
@@ -65,7 +106,8 @@ def load_obj(path: str, load_materials: bool = False):
     if load_materials:
         tv = np.asarray(texcoords, dtype=np.float32) if texcoords else None
         tf = np.asarray(texfaces, dtype=np.int32) if texfaces else None
-        return v, f, tv, tf, np.asarray(face_mats, dtype=np.int32), mat_names
+        materials = [mat_defs.get(n, {}) for n in mat_names]
+        return v, f, tv, tf, np.asarray(face_mats, dtype=np.int32), materials
     return v, f
 
 
@@ -124,9 +166,36 @@ def make_box_mesh(half_extents=(0.5, 0.5, 0.5)) -> Tuple[np.ndarray, np.ndarray]
     return v, f
 
 
-def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
+def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray,
+              texv: Optional[np.ndarray] = None, texf: Optional[np.ndarray] = None,
+              mtl_name: Optional[str] = None) -> None:
+    """Write a (optionally textured) triangle mesh. With texv/texf, per-corner UVs are
+    emitted (f v/vt form); ``mtl_name`` adds mtllib/usemtl lines referencing
+    ``<path_stem>.mtl`` (written separately with write_mtl)."""
     with open(path, "w") as fh:
+        if mtl_name is not None:
+            fh.write(f"mtllib {os.path.splitext(os.path.basename(path))[0]}.mtl\n")
         for v in vertices:
             fh.write(f"v {v[0]} {v[1]} {v[2]}\n")
-        for f in faces:
-            fh.write(f"f {f[0] + 1} {f[1] + 1} {f[2] + 1}\n")
+        if texv is not None:
+            for t in texv:
+                fh.write(f"vt {t[0]} {t[1]}\n")
+        if mtl_name is not None:
+            fh.write(f"usemtl {mtl_name}\n")
+        for i, f in enumerate(faces):
+            if texv is not None and texf is not None:
+                t = texf[i]
+                fh.write(f"f {f[0] + 1}/{t[0] + 1} {f[1] + 1}/{t[1] + 1} "
+                         f"{f[2] + 1}/{t[2] + 1}\n")
+            else:
+                fh.write(f"f {f[0] + 1} {f[1] + 1} {f[2] + 1}\n")
+
+
+def write_mtl(path: str, mtl_name: str, diffuse=None, texture_path: str = None) -> None:
+    """Companion .mtl writer (Kd and/or map_Kd) for write_obj's mtl_name option."""
+    with open(path, "w") as fh:
+        fh.write(f"newmtl {mtl_name}\n")
+        if diffuse is not None:
+            fh.write(f"Kd {diffuse[0]} {diffuse[1]} {diffuse[2]}\n")
+        if texture_path is not None:
+            fh.write(f"map_Kd {texture_path}\n")

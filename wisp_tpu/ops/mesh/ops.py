@@ -70,8 +70,12 @@ def random_face(vertices, faces, num_samples: int, distrib=None, rng=None):
     return rng.choice(len(faces), size=num_samples, p=distrib)
 
 
-def sample_surface(vertices, faces, num_samples: int, rng=None) -> np.ndarray:
-    """[N,3] uniform area-weighted surface samples (reference sample_surface.py)."""
+def sample_surface(vertices, faces, num_samples: int, rng=None,
+                   return_normals: bool = False):
+    """[N,3] uniform area-weighted surface samples (reference sample_surface.py).
+    With ``return_normals``, also returns the sampled faces' unit normals [N,3]
+    (reference sample_surface.py returns (samples, normals) — consumed by the SDF
+    dataset's get_normals option, mesh_sdf_dataset.py:193-195)."""
     rng = np.random.default_rng(0) if rng is None else rng
     fidx = random_face(vertices, faces, num_samples, rng=rng)
     v = np.asarray(vertices)
@@ -80,7 +84,12 @@ def sample_surface(vertices, faces, num_samples: int, rng=None) -> np.ndarray:
     flip = u.sum(-1) > 1.0
     u[flip] = 1.0 - u[flip]
     a, b = u[:, 0:1], u[:, 1:2]
-    return (v[f[:, 0]] * (1 - a - b) + v[f[:, 1]] * a + v[f[:, 2]] * b).astype(np.float32)
+    pts = (v[f[:, 0]] * (1 - a - b) + v[f[:, 1]] * a
+           + v[f[:, 2]] * b).astype(np.float32)
+    if return_normals:
+        normals = np.asarray(per_face_normals(vertices, faces), np.float32)[fidx]
+        return pts, normals
+    return pts
 
 
 def sample_near_surface(vertices, faces, num_samples: int, variance: float = 0.01,

@@ -37,7 +37,8 @@ class PackedRFTracer(BaseTracer):
                  compaction: float = 0.0,
                  early_stop: float = 0.0,
                  lod_spacing_scale: float = 0.0,
-                 march_budget: int = 1024):
+                 march_budget: int = 1024,
+                 march_stride: int = 1):
         super().__init__(bg_color=bg_color)
         self.raymarch_type = raymarch_type
         self.num_steps = num_steps
@@ -52,6 +53,13 @@ class PackedRFTracer(BaseTracer):
         # falls below this threshold are culled BEFORE interpolation/decoding. 0 = off.
         # The estimate is exact 0 until the first prune, so early training is unaffected.
         self.early_stop = early_stop
+        # Strided occupancy march ('ray'/'uniform' modes): gather occupancy every
+        # march_stride samples and OR-broadcast between (OctreeAS._sample_grid). The
+        # march gather is ~26% of the step at the flagship shape and sample spacing is
+        # ~2.3x finer than a level-7 voxel, so stride 2 halves that index count with a
+        # conservative-superset mask. 1 = exact per-sample test. PSNR-gated
+        # (tests/apps/test_nerf.py::test_nerf_fast_path_quality).
+        self.march_stride = march_stride
         # Spacing-based LOD truncation (cone-scaled LOD selection a la instant-ngp/mip
         # schemes): skip grid LODs whose cell size is smaller than lod_spacing_scale x the
         # coarsest sampling step (2*sqrt(3)/num_steps, the AABB-diagonal bound — exact for
@@ -74,7 +82,7 @@ class PackedRFTracer(BaseTracer):
     def trace(self, nef, rays, channels, extra_channels,
               lod_idx=None, raymarch_type="voxel", num_steps=64, step_size=1.0,
               bg_color=(1.0, 1.0, 1.0), key=None, compaction=None, early_stop=None,
-              lod_spacing_scale=None, march_budget=None):
+              lod_spacing_scale=None, march_budget=None, march_stride=None):
         assert nef.grid is not None, "this tracer requires a grid"
         n = rays.origins.shape[0]
         if lod_idx is None:
@@ -103,6 +111,8 @@ class PackedRFTracer(BaseTracer):
 
         march_kw = {"budget": march_budget} if (march_budget and
                                                raymarch_type == "voxel") else {}
+        if march_stride and march_stride > 1 and raymarch_type in ("ray", "uniform"):
+            march_kw["stride"] = int(march_stride)
         mr = nef.grid.raymarch(rays, raymarch_type=raymarch_type, num_samples=num_steps,
                                level=None, key=key, **march_kw)
         samples = mr.samples                       # [R, S, 3]

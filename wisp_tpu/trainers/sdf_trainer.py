@@ -103,6 +103,10 @@ class SDFTrainer(BaseTrainer):
         l2_loss = self.tracker.metrics.average_metric("l2_loss")
         log.info("EPOCH {}/{} | total loss: {:>.3E} | l2 loss: {:>.3E}".format(
             self.epoch, self.max_epochs, total_loss, l2_loss))
+        # expose the latest per-epoch losses to callers/tests (the reference's console
+        # lines ARE its test oracle, SURVEY.md §4; returning them is the cleaner analog)
+        self.return_dict["l2_loss"] = l2_loss
+        self.return_dict["rgb_loss"] = self.tracker.metrics.average_metric("rgb_loss")
 
     def render_snapshot(self):
         """Log SDF cross-sections along x/y/z (reference sdf_trainer.py:138-154)."""
