@@ -49,9 +49,29 @@ class MeshExtent:
 
 
 class OctreeAS(Module, BaseAS):
+    """Supported-level envelope (kaolin SPC serves level-10 trees; this rebuild does too,
+    with level-dependent fast paths):
+
+    * topology / point query / raytrace / sphere-trace free-dist: any level up to
+      ``MAX_OCTREE_LEVEL`` (= 10). Queries use dense pidx maps through level
+      ``PIDX_MAP_MAX_LEVEL`` (one gather) and sorted-morton binary search above.
+    * dense occupancy bitfield + fused density-EMA field (the RF marchers' empty-space
+      mask and the pruning rewrite target): materialized through level
+      ``OCC_GRID_MAX_LEVEL`` (= 8; 256^3 ≈ 17 MB bool + 67 MB f32). At level 9 the pair
+      would be 0.6 GB and at level 10 5 GB of HBM — above the cap the marchers fall back
+      to the conservative inside-AABB mask (correct, no empty-space culling) and
+      ``update_occupancy``/density-EMA early termination are unavailable.
+    * raytrace interval capacity: exact DDA bound (3·2^level + 2) through level 7;
+      defaults to a 512 cap above (detected overflow, never silent) — pass
+      ``capacity='exact'`` to take the exact bound at any level (HBM-guarded).
+    """
+
     # levels up to which dense point-query index maps are materialized (8^7 × 4 B ≈ 8 MB;
     # level 8 would cost 67 MB — binary search takes over there)
     PIDX_MAP_MAX_LEVEL = 7
+    # levels up to which the dense occupancy bitfield + density-EMA field exist (see
+    # envelope above)
+    OCC_GRID_MAX_LEVEL = 8
 
     def __init__(self, codes_per_level: List[np.ndarray], dense: bool = False):
         """Build from per-level sorted morton code arrays (level 0 .. max_level)."""
@@ -85,18 +105,27 @@ class OctreeAS(Module, BaseAS):
                 m[(pts_l[:, 0] * res_l + pts_l[:, 1]) * res_l + pts_l[:, 2]] = \
                     np.arange(len(c), dtype=np.int32)
                 self.pidx_maps.append(jnp.asarray(m))
-            res = 2 ** self.max_level
-            occ = np.zeros(res ** 3, dtype=bool)
-            leaf_pts = morton_to_points(codes_per_level[-1]).astype(np.int64)
-            flat = (leaf_pts[:, 0] * res + leaf_pts[:, 1]) * res + leaf_pts[:, 2]
-            occ[flat] = True
-            self.occ_grid = jnp.asarray(occ)
-            # Occupancy + density-EMA fused into ONE gatherable field: -1 = empty cell,
-            # >= 0 = density estimate (starts 0, refreshed by NeuralRadianceField.prune).
-            # The marcher's per-sample occupancy gather then yields the density estimate
-            # for free — it powers train-time transmittance early termination
-            # (PackedRFTracer early_stop) at zero extra index cost.
-            self.cell_density = jnp.where(self.occ_grid, 0.0, -1.0).astype(jnp.float32)
+            if self.max_level <= self.OCC_GRID_MAX_LEVEL:
+                res = 2 ** self.max_level
+                occ = np.zeros(res ** 3, dtype=bool)
+                leaf_pts = morton_to_points(codes_per_level[-1]).astype(np.int64)
+                flat = (leaf_pts[:, 0] * res + leaf_pts[:, 1]) * res + leaf_pts[:, 2]
+                occ[flat] = True
+                self.occ_grid = jnp.asarray(occ)
+                # Occupancy + density-EMA fused into ONE gatherable field: -1 = empty
+                # cell, >= 0 = density estimate (starts 0, refreshed by
+                # NeuralRadianceField.prune). The marcher's per-sample occupancy gather
+                # then yields the density estimate for free — it powers train-time
+                # transmittance early termination (PackedRFTracer early_stop) at zero
+                # extra index cost.
+                self.cell_density = jnp.where(self.occ_grid, 0.0, -1.0) \
+                    .astype(jnp.float32)
+            else:
+                # level 9-10: the dense field would need 0.6-5 GB HBM (envelope above);
+                # marchers fall back to the inside-AABB mask, queries/raytrace use the
+                # sorted-morton tables
+                self.occ_grid = None
+                self.cell_density = None
 
     # -- constructors (reference octree_as.py:42-144) -----------------------------------------
     @classmethod
@@ -272,8 +301,12 @@ class OctreeAS(Module, BaseAS):
         return t_near, t_far
 
     # -- raytrace (reference octree_as.py:165-186) ---------------------------------------------
+    # HBM guard for capacity='exact' raytrace buffers (pidx+t_entry+t_exit+mask ≈ 13 B
+    # per interval slot); 2 GB keeps render-shape traces comfortably inside 16 GB HBM
+    RAYTRACE_EXACT_MAX_BYTES = 2 * 1024 ** 3
+
     def raytrace(self, rays: Rays, level: Optional[int] = None, with_exit: bool = False,
-                 capacity: Optional[int] = None,
+                 capacity=None,
                  max_steps: Optional[int] = None) -> ASRaytraceResults:
         """3D-DDA traversal at ``level`` emitting up to ``capacity`` occupied-cell intervals
         per ray (entry/exit depths always computed; the reference's with_exit flag is
@@ -284,15 +317,26 @@ class OctreeAS(Module, BaseAS):
         exact upper bound on cells any ray can cross at ``level`` (the DDA step budget), so
         through level 7 no interval can ever be dropped. At level ≥ 8 the default caps the
         buffer at 512 intervals/ray (memory ceiling: 512² rays × 770 intervals × 12 B ≈
-        2.4 GB would crowd HBM at render shapes; pass ``capacity=3*2**level+2`` explicitly
-        to trade memory for the exact bound) — and saturation is *detected*, not silent:
-        ``results.overflow[r]`` is True whenever ray ``r`` had an occupied interval dropped
-        past the cap. Tracers surface ``sum(overflow)`` as a ``num_overflow`` debug channel
-        and apps log it host-side."""
+        2.4 GB would crowd HBM at render shapes) — and saturation is *detected*, not
+        silent: ``results.overflow[r]`` is True whenever ray ``r`` had an occupied
+        interval dropped past the cap. Tracers surface ``sum(overflow)`` as a
+        ``num_overflow`` debug channel and apps log it host-side.
+
+        ``capacity='exact'`` takes the exact bound (3·2^level + 2, overflow impossible) at
+        ANY level, guarded against HBM blowups: raises if rays × capacity × 13 B exceeds
+        ``RAYTRACE_EXACT_MAX_BYTES`` — chunk the rays in that case."""
         if level is None:
             level = self.max_level
         res = 2 ** level
         voxel = 2.0 / res
+        if capacity == "exact":
+            capacity = 3 * res + 2
+            need = rays.origins.shape[0] * capacity * 13
+            if need > self.RAYTRACE_EXACT_MAX_BYTES:
+                raise ValueError(
+                    f"raytrace(capacity='exact') at level {level} needs ~{need / 2**30:.1f}"
+                    f" GB of interval buffers for {rays.origins.shape[0]} rays; chunk the"
+                    f" rays (limit {self.RAYTRACE_EXACT_MAX_BYTES / 2**30:.1f} GB)")
         if capacity is None:
             capacity = min(3 * res + 2, 512)
         if max_steps is None:

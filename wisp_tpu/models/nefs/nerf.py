@@ -163,6 +163,10 @@ class NeuralRadianceField(BaseNeuralField):
         grid = self.grid
         if grid is None or grid.occupancy is None:
             return self
+        if getattr(grid.blas, "occ_grid", None) is None:
+            # level > OCC_GRID_MAX_LEVEL blas has no dense bitfield to rewrite
+            # (octree_as.py envelope) — pruning is a no-op there
+            return self
         if key is None:
             key = jax.random.PRNGKey(0)
 

@@ -75,6 +75,11 @@ class RayTracedRenderer(BottomLevelRenderer):
         self.tracer_overrides = tracer_overrides
         self._infer = None
 
+    # minimum padded chunk: chunks are padded UP to a power-of-two bucket so every canvas
+    # resolution reuses a handful of compiled shapes (each unique ray-count shape costs a
+    # fresh ~30 s XLA compile over the remote-TPU tunnel — round-3 interactive finding)
+    MIN_CHUNK_BUCKET = 4096
+
     def render(self, rays: Rays) -> RenderBuffer:
         if self._infer is None:
             overrides = dict(self.tracer_overrides)
@@ -86,5 +91,26 @@ class RayTracedRenderer(BottomLevelRenderer):
         n = rays.origins.shape[0]
         step = self.batch_size if self.batch_size > 0 else n
         for i in range(0, n, step):
-            outs.append(jax.device_get(self._infer(self.pipeline, rays[i:i + step])))
+            r = rays[i:i + step]
+            m = r.origins.shape[0]
+            bucket = min(step, max(self.MIN_CHUNK_BUCKET,
+                                   int(2 ** np.ceil(np.log2(max(m, 1))))))
+            if m < bucket:
+                pad = bucket - m
+                r = Rays(jnp.concatenate([r.origins, jnp.zeros((pad, 3),
+                                                               r.origins.dtype)]),
+                         jnp.concatenate([r.dirs, jnp.ones((pad, 3), r.dirs.dtype)]),
+                         r.dist_min, r.dist_max)
+            out = jax.device_get(self._infer(self.pipeline, r))
+            outs.append(out[:m] if m < bucket else out)
         return RenderBuffer.cat(outs) if len(outs) > 1 else outs[0]
+
+    def warm_shapes(self) -> List[int]:
+        """All ray-count shapes this renderer can ever compile (the po2 bucket ladder
+        from MIN_CHUNK_BUCKET to batch_size) — the precompile target set."""
+        shapes, b = [], self.MIN_CHUNK_BUCKET
+        while b < self.batch_size:
+            shapes.append(b)
+            b *= 2
+        shapes.append(self.batch_size)
+        return shapes

