@@ -89,9 +89,10 @@ def test_adaptive_compaction_no_oscillation_at_bucket_edge():
             f"budget moved at frac={f} (oscillation regression)"
 
     # a REAL spike (unpruned region opens up) must still grow immediately
+    # (round 4: buckets are half-octave — 0.06*1.304 = 0.078 -> 2^-3.5)
     t._prev_num_samples = 0.06 * total
     t.calc_adaptive_compaction(4096)
-    assert t.pipeline.tracer.compaction == pytest.approx(0.125)
+    assert t.pipeline.tracer.compaction == pytest.approx(2.0 ** -3.5)
 
 
 def test_adaptive_compaction_no_oscillation_at_high_view_variance():
@@ -99,8 +100,9 @@ def test_adaptive_compaction_no_oscillation_at_high_view_variance():
     # variance). The 15% grow deadband alone still ping-ponged 0.0312<->0.0625 every ~70 s
     # (each flip a full recompile): a low-view shrink WINDOW fit one bucket down, then the
     # next high view re-grew. The SHRINK_MARGIN (1.3x) separates the thresholds ~1.5x:
-    # once grown to 0.0625, windows maxing at 0.0258 (0.0258*1.5*1.3 = 0.050 > 0.0312)
-    # must NOT shrink — the budget settles at 0.0625 and never flips again.
+    # once grown (round 4 half-octave buckets: 0.0258*1.304 = 0.0336 -> 2^-4.5 = 0.0442),
+    # windows maxing at 0.0258 (0.0258*1.95 = 0.050 -> bucket 0.0625 > 0.0442) must NOT
+    # shrink — the budget settles at 0.0442 and never flips again.
     tracer = PackedRFTracer(num_steps=512, compaction=0.03125)
     t = _bare_trainer(tracer, 4096, adaptive_compaction=True,
                       target_sample_size=2 ** 18, max_compacted_samples=2 ** 21)
@@ -120,13 +122,13 @@ def test_adaptive_compaction_no_oscillation_at_high_view_variance():
     for f in fracs:
         t._prev_num_samples = f * total
         t.calc_adaptive_compaction(4096)
-    assert t.pipeline.tracer.compaction == pytest.approx(0.0625)
+    assert t.pipeline.tracer.compaction == pytest.approx(2.0 ** -4.5)
     assert len(retunes) == 1, \
         f"budget must settle after one grow, saw retunes: {retunes}"
 
     # a genuine sustained drop (e.g. after pruning) must still shrink: fractions at
-    # 0.009 fit the 0.0156 bucket even with the 1.3x margin (0.009*1.95 = 0.0176 -> 0.0312)
+    # 0.009 fit the 2^-5.5 bucket even with the 1.3x margin (0.009*1.95 = 0.0176 -> 0.0221)
     for _ in range(t.FRAC_WINDOW_STEPS + 1):
         t._prev_num_samples = 0.009 * total
         t.calc_adaptive_compaction(4096)
-    assert t.pipeline.tracer.compaction == pytest.approx(0.03125)
+    assert t.pipeline.tracer.compaction == pytest.approx(2.0 ** -5.5)

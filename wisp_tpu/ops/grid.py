@@ -212,7 +212,7 @@ def _axis_weight(c0: jax.Array, frac: jax.Array, width: int, dtype) -> jax.Array
 
 
 def _lod_features_dense_matmul(coords_axes, res: int, level_table: jax.Array,
-                               mode: str):
+                               mode: str, stoch_u=None):
     """Dense-table LOD interpolation as ONE MXU matmul instead of 2^d gathers + scatters.
 
     TPU-specific design (no reference counterpart — the CUDA kernel always gathers): for a
@@ -233,8 +233,12 @@ def _lod_features_dense_matmul(coords_axes, res: int, level_table: jax.Array,
     # uncompacted full-image render) it is 26 GB and OOMs HBM. Above this sample count
     # the 8-gather path is the memory-sane choice (fwd-only renders pay ~10 ns/idx).
     if n * res * res > _DENSE_MM_MAX_ELEMS:
+        # gather fallback keeps the stochastic backward if the caller uses it — at
+        # trainer steady-state shapes (N ≈ 0.5M) the res 51-80 LODs land here, and an
+        # exact backward would pay 2 column scatters per corner (~22M extra indices per
+        # step at the flagship config)
         codebook_size = level_table.shape[0]
-        return _lod_features(coords_axes, res, codebook_size, level_table)
+        return _lod_features(coords_axes, res, codebook_size, level_table, stoch_u)
     dtype = _MM_DTYPES[mode]
     precision = jax.lax.Precision.HIGHEST if mode == "f32_highest" else None
     f_dim = level_table.shape[-1]
@@ -288,6 +292,12 @@ _lod_features_dense_matmul_ckpt = partial(jax.checkpoint, static_argnums=(1, 3))
     _lod_features_dense_matmul)
 
 
+def _fold_u(u0, i):
+    """Decorrelate the per-sample corner draw across LODs (golden-ratio shift)."""
+    u = u0 + 0.61803398875 * (i + 1)
+    return u - jnp.floor(u)
+
+
 def _hashgrid_impl(coords, resolutions, codebook_bitwidth, lod_idx, codebook,
                    codebook_first_idx, codebook_sizes, dense_matmul, stoch_grad):
     codebook_size = 2 ** codebook_bitwidth
@@ -310,13 +320,12 @@ def _hashgrid_impl(coords, resolutions, codebook_bitwidth, lod_idx, codebook,
         res = int(resolutions[i])
         level = codebook[codebook_first_idx[i]:codebook_first_idx[i] + codebook_sizes[i]]
         if dense_matmul is not None and res ** dim <= codebook_size:
-            feats.extend(_lod_features_dense_matmul_ckpt(coords_axes, res, level,
-                                                         dense_matmul))
+            feats.extend(_lod_features_dense_matmul_ckpt(
+                coords_axes, res, level, dense_matmul,
+                _fold_u(u0, i) if u0 is not None else None))
         elif u0 is not None:
-            # decorrelate the corner draw across LODs (golden-ratio shift)
-            u_l = u0 + 0.61803398875 * (i + 1)
             feats.extend(hash_fn(coords_axes, res, codebook_size, level,
-                                 u_l - jnp.floor(u_l)))
+                                 _fold_u(u0, i)))
         else:
             feats.extend(hash_fn(coords_axes, res, codebook_size, level))
     # [L*F, N] -> [N, L*F]: one transpose at the boundary to the decoder

@@ -89,6 +89,82 @@ class WidgetInteractiveVisualizerProperties(Widget):
         }
 
 
+class WidgetAccelstruct(Widget):
+    """Per-object acceleration-structure properties (reference
+    widget_octree_grid/widget_object_properties accelstruct panels): octree level,
+    per-level occupancy vs capacity, dense-field envelope."""
+
+    def paint(self, state: WispState) -> Dict[str, Any]:
+        objects = {}
+        for name, pipeline in state.graph.neural_pipelines.items():
+            nef = getattr(pipeline, "nef", None)
+            grid = getattr(nef, "grid", None)
+            blas = getattr(grid, "blas", None)
+            if blas is None:
+                continue
+            props: Dict[str, Any] = {}
+            if hasattr(blas, "public_properties"):
+                props.update(blas.public_properties())
+            if hasattr(blas, "occupancy") and hasattr(blas, "capacity"):
+                occ, cap = blas.occupancy(), blas.capacity()
+                props["Cells by level"] = {
+                    f"L{lv}": f"{o}/{c} ({100.0 * o / max(c, 1):.1f}%)"
+                    for lv, (o, c) in enumerate(zip(occ, cap))}
+            if getattr(blas, "occ_grid", None) is not None:
+                props["Dense bitfield"] = f"{int(blas.occ_grid.sum())} occupied cells"
+            objects[name] = props
+        return {"Acceleration structures": objects}
+
+
+class WidgetNeuralPipeline(Widget):
+    """Per-object pipeline editor data (reference widget_neural_pipeline /
+    widget_property_editor): grid + decoder properties and trainable parameter counts."""
+
+    @staticmethod
+    def _param_count(module) -> int:
+        import jax
+        import numpy as np
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(module):
+            if hasattr(leaf, "dtype") and np.issubdtype(np.asarray(leaf).dtype,
+                                                        np.inexact):
+                total += int(np.prod(leaf.shape))
+        return total
+
+    def paint(self, state: WispState) -> Dict[str, Any]:
+        objects = {}
+        for name, pipeline in state.graph.neural_pipelines.items():
+            nef = getattr(pipeline, "nef", None)
+            tracer = getattr(pipeline, "tracer", None)
+            props: Dict[str, Any] = {}
+            if nef is not None:
+                props["Field"] = nef.public_properties() \
+                    if hasattr(nef, "public_properties") else type(nef).__name__
+                grid = getattr(nef, "grid", None)
+                if grid is not None:
+                    props["Grid params"] = self._param_count(grid)
+                props["Total params"] = self._param_count(nef)
+            if tracer is not None and hasattr(tracer, "public_properties"):
+                props["Tracer"] = tracer.public_properties()
+            objects[name] = props
+        return {"Pipelines": objects}
+
+
+class WidgetCameraProperties(Widget):
+    """Active-camera properties (reference widget_cameras panel)."""
+
+    def paint(self, state: WispState) -> Dict[str, Any]:
+        cam = state.renderer.selected_camera
+        if cam is None:
+            return {"Camera": None}
+        import numpy as np
+        return {"Lens": getattr(cam, "lens", "pinhole"),
+                "Resolution": f"{cam.width}x{cam.height}",
+                "FOV (deg)": round(float(np.degrees(getattr(cam, "fov", 0.0))), 2),
+                "Eye": np.asarray(cam.eye()).round(3).tolist()
+                if callable(getattr(cam, "eye", None)) else None}
+
+
 class WidgetObjectTransform(Widget):
     """Model-matrix editor data (reference object transform widget)."""
 
@@ -106,7 +182,8 @@ def render_dashboard_text(state: WispState) -> str:
     """Assemble all widgets into a plain-text dashboard (headless front-end)."""
     lines = []
     for widget in (WidgetGPUStats(), WidgetOptimization(), WidgetSceneGraph(),
-                   WidgetInteractiveVisualizerProperties()):
+                   WidgetInteractiveVisualizerProperties(), WidgetAccelstruct(),
+                   WidgetNeuralPipeline(), WidgetCameraProperties()):
         lines.append(f"== {type(widget).__name__} ==")
         data = widget.paint(state)
         for k, v in data.items():

@@ -148,19 +148,24 @@ class MultiviewTrainer(BaseTrainer):
             self._frac_window.pop(0)
         self._steps_since_retune += 1
         frac_hi = max(self._frac_window)
-        # Hysteresis: the grow threshold (frac > 0.77*budget, via the 15% deadband) and the
-        # shrink threshold (frac_hi < 0.51*budget, via the 1.3x SHRINK_MARGIN) are ~1.5x
-        # apart, so per-VIEW valid-fraction variance below 50% cannot ping-pong the budget
-        # across a po2 bucket edge (each flip is a full recompile over the tunnel).
+        # Hysteresis: the grow threshold (frac > 0.77*budget, via the 15% deadband) and
+        # the shrink threshold (frac_hi < 0.36*budget with half-octave buckets) are >2x
+        # apart, so per-VIEW valid-fraction variance cannot ping-pong the budget across a
+        # bucket edge (each flip is a full recompile over the tunnel).
         # Observed on the lego-proxy headline runs: 7% variance (0.0207-0.0221) broke the
         # original 5% grow band, and 26% variance (0.0205-0.0258) broke the 15% band alone
         # because shrink still fired whenever a low-view window fit one bucket down.
         # Growing late is safe: truncation only begins at frac > budget itself, and
         # over-budget truncation is benign (step-major order drops late, occluded samples).
-        # Shrinking late costs at most one extra bucket (2x) of gather indices.
-        budget = min(1.0, 2.0 ** math.ceil(math.log2(max(frac * 1.5 / 1.15, 1.0 / 512))))
-        shrink_to = min(1.0, 2.0 ** math.ceil(
-            math.log2(max(frac_hi * 1.5 * self.SHRINK_MARGIN, 1.0 / 512))))
+        # Buckets are HALF-octave (x1.41 steps, round 4): the old power-of-two buckets
+        # landed the flagship steady state at budget 0.0625 for valid fraction 0.028 —
+        # 2.2x slot padding, every padded slot paying interp gathers + scatters. Finer
+        # buckets cost at most a few extra rate-limited recompiles per run.
+        def _bucket(x: float) -> float:
+            return min(1.0, 2.0 ** (math.ceil(2.0 * math.log2(max(x, 1.0 / 512))) / 2.0))
+
+        budget = _bucket(frac * 1.5 / 1.15)
+        shrink_to = _bucket(frac_hi * 1.5 * self.SHRINK_MARGIN)
         if budget > current + 1e-9:
             new_budget, why = budget, frac
         elif len(self._frac_window) >= self.FRAC_WINDOW_STEPS \
