@@ -53,7 +53,7 @@ def test_nerf_hash_quick():
         "--tracer.num-steps", "128",
     ], epochs=15)
     assert "psnr" in result
-    assert result["psnr"] > 24.0, f"PSNR too low: {result}"
+    assert result["psnr"] > 27.0, f"PSNR too low: {result}"  # measured 28.19 (r4 calibration)
 
 
 def _light(extra, epochs=6):
@@ -79,7 +79,7 @@ def test_nerf_triplanar_quick():
         "--tracer.raymarch-type", "ray",
         "--tracer.num-steps", "96",
     ], epochs=8)
-    assert result["psnr"] > 16.0, f"PSNR too low: {result}"
+    assert result["psnr"] > 21.5, f"PSNR too low: {result}"  # measured 22.59 (r4 calibration)
 
 
 def test_nerf_codebook_quick():
@@ -97,7 +97,7 @@ def test_nerf_codebook_quick():
         "--blas-level", "4",
         "--sparse-blas", "true",
     ], epochs=6)
-    assert result["psnr"] > 13.0, f"PSNR too low: {result}"
+    assert result["psnr"] > 18.8, f"PSNR too low: {result}"  # measured 19.88 (r4 calibration)
 
 
 def test_nerf_octree_grid_quick():
@@ -114,7 +114,7 @@ def test_nerf_octree_grid_quick():
         "--blas-level", "4",
         "--sparse-blas", "true",
     ], epochs=8)
-    assert result["psnr"] > 16.0, f"PSNR too low: {result}"
+    assert result["psnr"] > 21.0, f"PSNR too low: {result}"  # measured 22.04 (r4 calibration)
 
 
 def test_nerf_valid_exr_dumps(tmp_path):
@@ -158,7 +158,7 @@ def test_nerf_segmented_early_stop_render():
         "--trainer.render-segments", "4",
         "--blas-level", "4",
     ], epochs=8)
-    assert result["psnr"] > 16.0, f"PSNR too low: {result}"
+    assert result["psnr"] > 18.0, f"PSNR too low: {result}"  # measured 19.00 (r4 calibration)
 
 
 def test_nerf_voxel_marching_quick():
@@ -175,7 +175,7 @@ def test_nerf_voxel_marching_quick():
         "--blas-level", "4",
         "--sparse-blas", "true",
     ], epochs=8)
-    assert result["psnr"] > 14.0, f"PSNR too low: {result}"
+    assert result["psnr"] > 18.1, f"PSNR too low: {result}"  # measured 19.18 (r4 calibration)
 
 
 def test_nerf_voxel_compaction_quality_parity():
@@ -237,7 +237,7 @@ def test_nerf_adaptive_compaction():
         "--blas-level", "4",
         "--sparse-blas", "true",
     ], epochs=8)
-    assert result["psnr"] > 16.0, f"PSNR too low: {result}"
+    assert result["psnr"] > 19.4, f"PSNR too low: {result}"  # measured 20.45 (r4 calibration)
 
 
 def test_nerf_fast_path_quality():
