@@ -102,18 +102,24 @@ async def drive_session(port: int, seconds: float, out_dir: str):
 
     frames, events, saved = [], [], 0
 
+    t_connect = time.time()
     async with websockets.connect(f"ws://127.0.0.1:{port}/ws", open_timeout=300,
                                   max_size=16 * 1024 * 1024) as ws:
         panels = json.loads(await ws.recv())
         ctl = {c["id"]: c for p in panels["panels"] for c in p["controls"]}
 
-        # warmup: the first frame carries the train-step + render jit compiles — the
-        # timed session starts when the app is actually interactive
-        print("  waiting for first frame (jit warmup) ...", flush=True)
+        # warm-start metric (VERDICT r3 #7): time from websocket connect to the first
+        # PRESENTED frame. With RendererCore.precompile() the first frame arrives at the
+        # smallest warm ladder rung while larger resolutions still compile in background.
+        print("  waiting for first frame (warm-start rung) ...", flush=True)
         while True:
             m = json.loads(await ws.recv())
             if m["type"] == "frame":
                 break
+        first_frame_s = time.time() - t_connect
+        first_frame_res = m["res"]
+        print(f"  first frame after {first_frame_s:.1f}s at res {first_frame_res}",
+              flush=True)
         t_start = time.time()
 
         def pick(frag):
@@ -163,7 +169,8 @@ async def drive_session(port: int, seconds: float, out_dir: str):
         if frames:
             with open(os.path.join(out_dir, "frame_last.jpg"), "wb") as f:
                 f.write(base64.b64decode(last["jpg"]))
-    return frames, events
+    return frames, events, {"first_frame_s": round(first_frame_s, 1),
+                            "first_frame_res": first_frame_res}
 
 
 def main():
@@ -192,7 +199,8 @@ def main():
     print(f"server on http://127.0.0.1:{args.port}/ — driving a "
           f"{args.seconds:.0f}s session", flush=True)
 
-    frames, events = asyncio.run(drive_session(args.port, args.seconds, args.out))
+    frames, events, warmstart = asyncio.run(drive_session(args.port, args.seconds,
+                                                          args.out))
     server.request_stop()
     thread.join(timeout=300)
 
@@ -202,6 +210,7 @@ def main():
     tail = fps_all[len(fps_all) // 4:] or fps_all
     summary = {
         "canvas": args.canvas,
+        **warmstart,
         "seconds": args.seconds,
         "num_frames": len(frames),
         "train_epochs_during_session": trainer.epoch,
