@@ -274,11 +274,15 @@ class RandomViewDataset(MultiviewDataset):
         return os.path.join(self.dataset_path, key + ".npz")
 
     def create_split(self, split: str, transform=None) -> "RandomViewDataset":
+        # propagate the GT cache dir and integration device: the cache key includes the
+        # split/num_views/res, so the val split caches alongside train (a 512^2 7-view
+        # host-side integration otherwise re-runs ~5 min on every app start)
         return RandomViewDataset(num_views=min(self.num_views, 7), height=self.height,
                                  width=self.width, split=split, fov=self.fov,
                                  radius=self.radius, num_gt_samples=self.num_gt_samples,
                                  bg_color=self.bg_color, transform=transform,
-                                 scene=self.scene)
+                                 scene=self.scene, dataset_path=self.dataset_path,
+                                 gt_device=self.gt_device)
 
     def __len__(self):
         return len(self.data["rays"])
