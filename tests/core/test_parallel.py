@@ -74,7 +74,10 @@ class TestDataParallel:
         import optax
         trainer, batch, mesh = trainer_and_batch
         trainer._step_fn = trainer._build_step()
-        key = jax.random.PRNGKey(42)
+        # the step derives its key INSIDE the jit: fold_in(base, step_no), then dp folds
+        # in the shard index — mirror that exactly in the per-shard reference
+        step_no = np.uint32(7)
+        key = jax.random.fold_in(trainer._step_base_key, step_no)
         n = mesh.devices.size
         rays, gts, step_idx = batch
         b = rays.origins.shape[0] // n
@@ -108,7 +111,7 @@ class TestDataParallel:
         opt_r = replicate_tree(jax.tree_util.tree_map(jnp.array, trainer.opt_state), mesh)
         nd_r = replicate_tree(dict(trainer._nondiff), mesh)
         b_r = shard_batch(batch, mesh)
-        d2, o2, loss2, _ = trainer._step_fn(diff_r, opt_r, nd_r, b_r, key)
+        d2, o2, loss2, _ = trainer._step_fn(diff_r, opt_r, nd_r, b_r, step_no)
 
         np.testing.assert_allclose(float(loss_ref), float(loss2), rtol=1e-5)
         for k in d_ref:
@@ -133,7 +136,7 @@ class TestDataParallel:
             nd_r = replicate_tree(dict(trainer._nondiff), mesh)
             b_r = shard_batch(batch, mesh)
             compiled = step_fn.lower(diff_r, opt_r, nd_r, b_r,
-                                     jax.random.PRNGKey(0)).compile()
+                                     np.uint32(0)).compile()
             hlo = compiled.as_text()
         finally:
             trainer.pipeline = pipe
@@ -241,13 +244,15 @@ class TestDataParallel:
         from wisp_tpu.parallel import shard_batch as _sb
         step_fn = trainer._step_fn or trainer._build_step()
         hlo = step_fn.lower(trainer._diff, trainer.opt_state, trainer._nondiff,
-                            _sb(batch, mesh), jax.random.PRNGKey(0)).compile().as_text()
+                            _sb(batch, mesh), np.uint32(0)).compile().as_text()
         assert "all-reduce" in hlo
         for bad in ("all-gather", "all-to-all", "collective-permute"):
             assert bad not in hlo, f"post-prune dp step leaks a {bad} collective"
 
-        # (e) numerical: one post-prune dp step == explicit per-shard reference
-        key = jax.random.PRNGKey(123)
+        # (e) numerical: one post-prune dp step == explicit per-shard reference.
+        # _step_base_key reflects the CURRENT (post-retune, rebuilt) step function.
+        step_no2 = np.uint32(123)
+        key = jax.random.fold_in(trainer._step_base_key, step_no2)
         n = mesh.devices.size
         b = rays.origins.shape[0] // n
         diff0 = {k: jnp.array(v) for k, v in trainer._diff.items()}
@@ -275,7 +280,7 @@ class TestDataParallel:
         d2, o2, loss2, _ = step_fn(replicate_tree(diff0, mesh),
                                    replicate_tree(opt0, mesh),
                                    replicate_tree(dict(nondiff), mesh),
-                                   _sb(batch, mesh), key)
+                                   _sb(batch, mesh), step_no2)
         np.testing.assert_allclose(float(loss_ref), float(loss2), rtol=1e-5)
         for k in d_ref:
             np.testing.assert_allclose(np.asarray(d_ref[k]), np.asarray(d2[k]),

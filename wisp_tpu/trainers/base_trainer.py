@@ -215,6 +215,12 @@ class BaseTrainer(ABC):
         compute_loss = self.compute_loss
         spec = self._spec
         mesh = self.mesh
+        # Per-step rng keys derive INSIDE the jit from the uint32 step counter: an eager
+        # jax.random.split per step is a device round trip, and on the remote-TPU tunnel
+        # (~0.1-1 s RTT) those serialized the whole train loop (round-4 headline run:
+        # ~450 ms/step of pure round-trip overhead on a ~190 ms step). One split here at
+        # build time keeps runs reproducible per trainer seed.
+        base_key = self._step_base_key = self.next_key()
 
         def value_and_grad_fn(diff, nondiff, batch, key):
             def inner(d):
@@ -225,7 +231,8 @@ class BaseTrainer(ABC):
             return loss, aux, grads
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def step_fn(diff, opt_state, nondiff, batch, key):
+        def step_fn(diff, opt_state, nondiff, batch, step_no):
+            key = jax.random.fold_in(base_key, step_no)
             if mesh is None:
                 loss, aux, grads = value_and_grad_fn(diff, nondiff, batch, key)
             else:
@@ -396,7 +403,8 @@ class BaseTrainer(ABC):
             from wisp_tpu.parallel import shard_batch
             batch = shard_batch(batch, self.mesh)
         self._diff, self.opt_state, loss, aux = self._step_fn(
-            self._diff, self.opt_state, self._nondiff, batch, self.next_key())
+            self._diff, self.opt_state, self._nondiff, batch,
+            np.uint32(max(self.total_iterations, 0)))
         return loss, aux
 
     def refresh_pipeline(self, pipeline):
