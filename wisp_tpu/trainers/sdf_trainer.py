@@ -71,7 +71,15 @@ class SDFTrainer(BaseTrainer):
         return self.train_dataset[idx]
 
     def compute_loss(self, pipeline, batch, key):
-        pts, gts, rgb_gts = batch
+        if not isinstance(batch, (tuple, list)):
+            # packed step layout: ONE [B, 4(+3)] upload (coords | sdf | rgb?) — each
+            # committed host array is its own transfer, a round trip on the remote
+            # tunnel (see multiview_trainer.step)
+            pts = batch[:, 0:3]
+            gts = batch[:, 3:4]
+            rgb_gts = batch[:, 4:7] if batch.shape[1] >= 7 else None
+        else:
+            pts, gts, rgb_gts = batch
         batch_size = pts.shape[0]
         sample_tex = rgb_gts is not None
 
@@ -87,18 +95,40 @@ class SDFTrainer(BaseTrainer):
                 pred = pipeline.nef(channels="sdf", coords=pts, lod_idx=lod_idx)
             l2_loss = l2_loss + jnp.sum((pred - gts) ** 2)
         loss = (l2_loss + (rgb_loss if sample_tex else 0.0)) / batch_size
-        return loss, {"l2_loss": l2_loss / batch_size, "rgb_loss": rgb_loss / batch_size}
+        return loss, {"l2_loss": l2_loss / batch_size, "rgb_loss": rgb_loss / batch_size,
+                      "host_stats": jnp.stack([loss, l2_loss / batch_size,
+                                               rgb_loss / batch_size])}
+
+    # deferred one-step stats fetch (see multiview_trainer.step: overlap the fetch RTT
+    # with the next step's device compute)
+    _pending_stats = None
 
     def step(self, data):
-        pts = jnp.asarray(data["coords"])
-        gts = jnp.asarray(data["sdf"])
-        rgb = jnp.asarray(data["rgb"]) if "rgb" in data else None
-        loss, aux = self.run_step((pts, gts, rgb))
-        self.tracker.metrics.total_loss += float(loss)
-        self.tracker.metrics.l2_loss += float(aux["l2_loss"])
-        self.tracker.metrics.rgb_loss += float(aux["rgb_loss"])
+        n = len(data["coords"])
+        cols = [np.asarray(data["coords"], np.float32),
+                np.asarray(data["sdf"], np.float32).reshape(n, -1)]
+        if "rgb" in data and data["rgb"] is not None:
+            cols.append(np.asarray(data["rgb"], np.float32)[:, :3])
+        packed = np.concatenate(cols, axis=1)
+        loss, aux = self.run_step(packed)
+        prev = self._pending_stats
+        self._pending_stats = aux.get("host_stats")
+        if prev is not None:
+            self._apply_stats(prev)
+
+    def _apply_stats(self, stats):
+        s = np.asarray(stats)
+        self.tracker.metrics.total_loss += float(s[0])
+        self.tracker.metrics.l2_loss += float(s[1])
+        self.tracker.metrics.rgb_loss += float(s[2])
+
+    def _flush_stats(self):
+        if self._pending_stats is not None:
+            self._apply_stats(self._pending_stats)
+            self._pending_stats = None
 
     def log_console(self):
+        self._flush_stats()
         total_loss = self.tracker.metrics.average_metric("total_loss")
         l2_loss = self.tracker.metrics.average_metric("l2_loss")
         log.info("EPOCH {}/{} | total loss: {:>.3E} | l2 loss: {:>.3E}".format(
