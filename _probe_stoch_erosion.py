@@ -1,0 +1,59 @@
+"""A/B probe: does long-horizon training degrade with the stochastic single-corner
+backward (and/or pruning cadence)? Mirrors tests/apps/test_nerf.py lego-proxy config at
+80 epochs with validations every 20. CPU-only (8 virtual devices), results to JSON.
+
+Context: round-4 TPU headline run showed PSNR 29.12 @25 -> 27.00 @50 with train loss
+creeping up from ~epoch 15; suspects are stochastic-backward gradient noise vs
+prune-decay erosion."""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from app.nerf.main_nerf import main  # noqa: E402
+
+BASE = [
+    "--dataset.constructor", "RandomViewDataset",
+    "--dataset.scene", "lego_proxy",
+    "--dataset.num-views", "20",
+    "--dataset.height", "128", "--dataset.width", "128",
+    "--dataset-transform.num-samples", "4096",
+    "--grid.constructor", "HashGrid.from-geometric",
+    "--grid.feature-std", "1e-9",
+    "--grid.num-lods", "8",
+    "--grid.codebook-bitwidth", "13",
+    "--grid.min-grid-res", "16",
+    "--grid.max-grid-res", "256",
+    "--grid.multiscale-type", "cat",
+    "--grid.dense-lod-matmul", "bf16",
+    "--nef.prune-density-decay", "0.95",
+    "--nef.prune-min-density", "2.956033378250884",
+    "--tracer.raymarch-type", "ray",
+    "--tracer.num-steps", "192",
+    "--tracer.compaction", "0.5",
+    "--tracer.early-stop", "0.01",
+    "--tracer.march-stride", "2",
+    "--trainer.adaptive-compaction", "true",
+    "--trainer.prune-every", "3",
+    "--trainer.start-prune", "6",
+    "--trainer.max-epochs", "80",
+    "--trainer.valid-every", "20",
+    "--trainer.scheduler", "true",
+    "--trainer.exp-name", "stoch-probe",
+    "--tracker.log-dir", "/tmp/stoch_probe_logs",
+    "--device", "cpu",
+]
+
+out = {}
+for name, extra in [("stoch", ["--grid.stoch-grad", "true"]),
+                    ("exact", ["--grid.stoch-grad", "false"])]:
+    r = main(BASE + extra)
+    out[name] = {str(k): float(v) for k, v in r.get("psnr_by_epoch", {}).items()
+                 if v is not None}
+    print(name, out[name], flush=True)
+    with open("/tmp/stoch_probe.json", "w") as f:
+        json.dump(out, f, indent=1)
+print(json.dumps(out))
