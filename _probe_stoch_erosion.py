@@ -37,10 +37,15 @@ BASE = [
     "--tracer.early-stop", "0.01",
     "--tracer.march-stride", "2",
     "--trainer.adaptive-compaction", "true",
+    # start_prune must wait for a trained density like the flagship's (iter 1000 ≈ epoch
+    # 10 at 100 iters/epoch): combining start-prune 6 with the culling 0.95/2.956 params
+    # pruned the UNTRAINED field to zero occupancy at iteration 6 and killed training
+    # (valid fraction 0.0000, measured round 4). prune-every 3 then accelerates
+    # prune-count ~8x vs the flagship to surface erosion within 40 epochs.
     "--trainer.prune-every", "3",
-    "--trainer.start-prune", "6",
-    "--trainer.max-epochs", "80",
-    "--trainer.valid-every", "20",
+    "--trainer.start-prune", "200",
+    "--trainer.max-epochs", "40",
+    "--trainer.valid-every", "10",
     "--trainer.scheduler", "true",
     "--trainer.exp-name", "stoch-probe",
     "--tracker.log-dir", "/tmp/stoch_probe_logs",
