@@ -78,9 +78,12 @@ def main():
     # stride-2 occupancy march (round 4 fast path): halves the march gather count when
     # sample spacing < voxel size; PSNR-gated (test_nerf_fast_path_quality). 1 = exact.
     march_stride = int(os.environ.get("BENCH_MARCH_STRIDE", 2))
-    # stochastic single-corner hash backward (round 4 fast path): unbiased, 8x fewer
-    # backward scatter indices (ops/grid.py interp_rows_stoch). PSNR-gated. 0 = exact.
-    stoch_grad = os.environ.get("BENCH_STOCH", "1") == "1"
+    # stochastic single-corner hash backward: unbiased, 8x fewer backward scatter
+    # indices (ops/grid.py interp_rows_stoch) — but its gradient noise ERODES the field
+    # over 100-epoch runs with pruning active (results_round4.md postmortem: 29.12 dB
+    # @25 -> 19.91 @75 on the real chip). Default OFF so the headline number matches the
+    # flagship-quality config; BENCH_STOCH=1 measures the short-run/throughput lever.
+    stoch_grad = os.environ.get("BENCH_STOCH", "0") == "1"
 
     if sparse:
         # steady-state training occupancy: sparse blas carved to the synthetic scene
