@@ -22,9 +22,26 @@ reproduces the round-1 configuration.
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _emit(result):
+    """Incremental result emission (VERDICT r4 weak #1: a wedged/timed-out bench must
+    still leave an artifact). Under the supervisor each milestone appends a complete JSON
+    line to the progress file; the parent prints the LAST one to stdout. Standalone
+    (BENCH_SUPERVISE=0) prints directly."""
+    line = json.dumps(result)
+    progress = os.environ.get("WISP_BENCH_PROGRESS")
+    if progress:
+        with open(progress, "a") as fh:
+            fh.write(line + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+    else:
+        print(line, flush=True)
 
 # BENCH_MESH=N runs the data-parallel step over an N-device mesh. With fewer real devices
 # (the usual case: one tunneled TPU chip) an N-device virtual CPU platform is forced —
@@ -193,15 +210,6 @@ def main():
 
     rays_per_sec, compile_s, loss, aux, dt = build_and_time(blas, compaction, early_stop)
 
-    # Cold-start companion number (VERDICT r2 #9): the un-warmed regime a fresh training
-    # run starts in — density EMA at 0 (early termination inert until the first prune) and
-    # the conservative pre-steady-state compaction budget the trainer's adaptive loop
-    # starts from. The headline stays the steady-state number (the regime the trainer is
-    # in for most of a run); this rides along so the artifact is self-describing.
-    cold_rays_per_sec = None
-    if bench_cold and sparse and mesh is None:
-        cold_rays_per_sec, _, _, _, _ = build_and_time(
-            blas_cold, max(compaction, 0.0625) if compaction else 0.0, early_stop)
     result = {
         "metric": f"dp_step_rays_per_sec_mesh{BENCH_MESH}_cpu_orchestration_only"
                   if mesh is not None
@@ -222,14 +230,103 @@ def main():
             "valid_sample_frac": round(float(aux.get("num_valid_samples", 0.0))
                                        / (num_rays * samples_per_ray), 4),
             "samples_per_sec": round(num_rays * samples_per_ray * iters / dt, 1),
-            "cold_start_rays_per_sec": round(cold_rays_per_sec, 1)
-            if cold_rays_per_sec else None,
+            "cold_start_rays_per_sec": None,
             "device": str(jax.devices()[0]),
             "final_loss": float(loss),
         },
     }
-    print(json.dumps(result))
+    # the headline is complete HERE — emit before the optional cold companion so a wedge
+    # during the second compile can no longer null the whole artifact (BENCH_r04 postmortem)
+    _emit(result)
+
+    # Cold-start companion number (VERDICT r2 #9): the un-warmed regime a fresh training
+    # run starts in — density EMA at 0 (early termination inert until the first prune) and
+    # the conservative pre-steady-state compaction budget the trainer's adaptive loop
+    # starts from. The headline stays the steady-state number (the regime the trainer is
+    # in for most of a run); this rides along so the artifact is self-describing.
+    if bench_cold and sparse and mesh is None:
+        cold_rays_per_sec, _, _, _, _ = build_and_time(
+            blas_cold, max(compaction, 0.0625) if compaction else 0.0, early_stop)
+        result["detail"]["cold_start_rays_per_sec"] = round(cold_rays_per_sec, 1)
+        _emit(result)
+
+
+def _read_last_line(path):
+    try:
+        with open(path) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        return lines[-1] if lines else None
+    except OSError:
+        return None
+
+
+def _supervised():
+    """Parent mode: run the measurement in a supervised child with a hard deadline and ONE
+    retry (VERDICT r4 weak #1 — the remote-TPU tunnel wedges mid-RPC; three independent
+    events in round 4 nulled the driver's artifact). Guarantees exactly one JSON line on
+    stdout well before any external ~560 s driver timeout:
+
+    * child appends each completed milestone to a progress file (headline first, then the
+      headline + cold-start companion);
+    * a wedged attempt is killed at BENCH_ATTEMPT_TIMEOUT; a pre-headline wedge retries
+      once, a post-headline wedge prints the partial artifact immediately;
+    * at BENCH_DEADLINE the best available line is printed no matter what."""
+    import signal
+    import subprocess
+
+    deadline = time.time() + float(os.environ.get("BENCH_DEADLINE", 420))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", 300))
+    progress = os.path.join(tempfile.gettempdir(), f"wisp_bench_{os.getpid()}.jsonl")
+    env = dict(os.environ, WISP_BENCH_CHILD="1", WISP_BENCH_PROGRESS=progress)
+
+    def _kill(proc):
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
+
+    last_line = None
+    for attempt in range(2):
+        t0 = time.time()
+        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)], env=env,
+                                start_new_session=True)
+        while True:
+            rc = proc.poll()
+            line = _read_last_line(progress)
+            if line:
+                last_line = line
+            if rc is not None:
+                if rc == 0 and last_line:
+                    print(last_line, flush=True)
+                    return 0
+                break  # crashed (or exited without output) — retry
+            now = time.time()
+            if now - t0 > attempt_timeout or now > deadline - 20:
+                print(f"bench: attempt {attempt + 1} stalled "
+                      f"({now - t0:.0f} s) — killing child", file=sys.stderr, flush=True)
+                _kill(proc)
+                break
+            time.sleep(2)
+        if last_line:
+            # headline already measured — a partial artifact beats gambling the deadline
+            print(last_line, flush=True)
+            return 0
+        if time.time() > deadline - 60:
+            break
+    print(json.dumps({"metric": "train_rays_per_sec_per_chip", "value": 0.0,
+                      "unit": "rays/s", "vs_baseline": 0.0,
+                      "detail": {"error": "bench stalled twice (tunnel wedge?)"}}),
+          flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("WISP_BENCH_CHILD") == "1" \
+            or os.environ.get("BENCH_SUPERVISE", "1") == "0":
+        main()
+    else:
+        sys.exit(_supervised())

@@ -44,6 +44,24 @@ from wisp_tpu.utils.filter import TreeSpec, is_inexact_array
 log = logging.getLogger(__name__)
 
 
+def _touch_heartbeat(epoch: int, iteration: int, phase: str) -> None:
+    """Liveness beacon for the wedge watchdog (tools/watchdog.py). The remote-TPU tunnel
+    can wedge mid-RPC (socket idle 27+ min while the backend serves fresh clients —
+    round-4 postmortem, CLAUDE.md): the process sits blocked at ~2% CPU forever. With
+    WISP_HEARTBEAT_FILE set, every step start/finish stamps the file; the watchdog kills
+    and relaunches (resume=auto) when the stamp goes stale. Touched BEFORE dispatch too,
+    so a wedge inside the very first compile is also caught by staleness."""
+    path = os.environ.get("WISP_HEARTBEAT_FILE")
+    if not path:
+        return
+    try:
+        with open(path, "w") as fh:
+            fh.write(f'{{"t": {time.time():.3f}, "epoch": {epoch}, '
+                     f'"iteration": {iteration}, "phase": "{phase}"}}\n')
+    except OSError:  # heartbeat must never take down training
+        pass
+
+
 def _apply_amp_policy(pipeline):
     """Set compute_dtype=bf16 on every BasicDecoder in the pipeline tree (host-side walk)."""
     from wisp_tpu.models.decoders.basic_decoders import BasicDecoder
@@ -101,6 +119,14 @@ class ConfigBaseTrainer:
     scheduler_gamma: float = 0.333
     valid_metrics: Tuple[str, ...] = ("psnr",)
     random_seed: int = 0
+    # Wedge survival (VERDICT r4 weak #1): full-training-state checkpoint cadence in EPOCHS
+    # (params + optimizer + counters + rng + adaptive-tuner state; written atomically).
+    # A watchdog relaunch (tools/watchdog.py) resumes from the last complete one.
+    checkpoint_every: int = -1
+    # Resume source: a checkpoint path, or 'auto' = newest train_state under the run's
+    # log dir (pin tracker.run_name so the relaunch lands in the same dir). 'auto' with no
+    # checkpoint found starts fresh — that makes first-launch and relaunch the same command.
+    resume: Optional[str] = None
 
 
 class BaseTrainer(ABC):
@@ -281,9 +307,51 @@ class BaseTrainer(ABC):
         if app_config is not None:
             from wisp_tpu.config.utils import write_config_to_yaml
             write_config_to_yaml(app_config, os.path.join(self.tracker.log_dir, "config.yaml"))
+        self._maybe_resume()
         self.log_model_details()
         if self._step_fn is None:
             self._step_fn = self._build_step()
+
+    def _maybe_resume(self):
+        if not getattr(self.cfg, "resume", None):
+            return
+        from wisp_tpu.trainers.checkpoint import (latest_checkpoint,
+                                                  restore_checkpoint)
+        path = self.cfg.resume
+        if path in ("auto", "latest"):
+            path = latest_checkpoint(self.tracker.log_dir)
+            if path is None:
+                log.info("resume=auto: no checkpoint in %s — starting fresh",
+                         self.tracker.log_dir)
+                return
+        restore_checkpoint(self, path)
+        self.scene_state.optimization.epoch = self.epoch
+        if self.epoch >= self.max_epochs and self._restored_done:
+            log.info("resume: run already completed (epoch %d/%d) — nothing to train",
+                     self.epoch, self.max_epochs)
+            self.is_optimization_running = False
+
+    _restored_done = False
+
+    def save_training_state(self) -> str:
+        """Atomic full-state checkpoint into the run dir (consumed by resume/watchdog)."""
+        from wisp_tpu.trainers.checkpoint import (TRAIN_STATE_BASENAME,
+                                                  save_checkpoint)
+        if hasattr(self, "_flush_stats"):
+            self._flush_stats()
+        return save_checkpoint(
+            self, os.path.join(self.tracker.log_dir, TRAIN_STATE_BASENAME),
+            backend="pickle")
+
+    def extra_state(self):
+        """Subclass hook: small host-side state (adaptive tuners etc.) to ride in
+        checkpoints. Must be pickleable; restored via :meth:`load_extra_state`."""
+        return {"done": not self.is_optimization_running,
+                "elapsed_time": self.scene_state.optimization.elapsed_time}
+
+    def load_extra_state(self, extra):
+        self._restored_done = bool(extra.get("done", False))
+        self.scene_state.optimization.elapsed_time = extra.get("elapsed_time", 0.0)
 
     def post_training(self):
         self.sync_pipeline()
@@ -324,12 +392,18 @@ class BaseTrainer(ABC):
         if self.cfg.valid_every > -1 and self.epoch % self.cfg.valid_every == 0 \
                 and self.epoch != 0:
             self.validate()
+        completed_epoch = self.epoch
         if self.epoch < self.max_epochs:
             self.iteration = 0
             self.epoch += 1
             self.scene_state.optimization.epoch = self.epoch
         else:
             self.is_optimization_running = False
+        # checkpoint AFTER the epoch counters advance: a resume from this file starts
+        # cleanly at the next epoch's first batch (no re-validation replay)
+        if self.cfg.checkpoint_every > -1 and \
+                completed_epoch % self.cfg.checkpoint_every == 0:
+            self.save_training_state()
 
     def reset_data_iterator(self):
         self._data_iter = iter(range(len(self.train_dataset)))
@@ -362,8 +436,10 @@ class BaseTrainer(ABC):
                 self.post_training()
         if self.is_any_iterations_remaining() and data is not None:
             self.pre_step()
+            _touch_heartbeat(self.epoch, self.iteration, "step")
             self.step(data)
             self.post_step()
+            _touch_heartbeat(self.epoch, self.iteration, "step_done")
         self.scene_state.optimization.elapsed_time += time.time() - iter_start
         self.scene_state.optimization.iteration = self.iteration
 

@@ -37,6 +37,10 @@ class ConfigVisCameras:
 class ConfigTracker:
     """Tracker config (reference tracker.py:64-89)."""
     log_dir: str = "_results/logs/runs"
+    # Pin the per-run subdirectory (default: a fresh timestamp). A watchdog relaunch passes
+    # the original run_name so the restarted process resumes INTO the same run dir —
+    # parquet/tfevents/checkpoints stay continuous across restarts.
+    run_name: Optional[str] = None
     tensorboard: bool = True
     wandb: bool = False
     wandb_project: Optional[str] = None
@@ -118,7 +122,7 @@ class Tracker:
         self.cfg = cfg
         self.exp_name = exp_name
         self.log_dir = os.path.join(cfg.log_dir, exp_name,
-                                    time.strftime("%Y%m%d-%H%M%S"))
+                                    cfg.run_name or time.strftime("%Y%m%d-%H%M%S"))
         os.makedirs(self.log_dir, exist_ok=True)
 
         self.metrics = MetricsBoard()
