@@ -1,6 +1,7 @@
 """A/B probe: does long-horizon training degrade with the stochastic single-corner
 backward (and/or pruning cadence)? Mirrors tests/apps/test_nerf.py lego-proxy config at
-80 epochs with validations every 20. CPU-only (8 virtual devices), results to JSON.
+40 epochs with validations every 10 and an 8x-accelerated prune cadence. CPU-only
+(single device forced via jax_platforms), results to JSON.
 
 Context: round-4 TPU headline run showed PSNR 29.12 @25 -> 27.00 @50 with train loss
 creeping up from ~epoch 15; suspects are stochastic-backward gradient noise vs
@@ -52,10 +53,21 @@ BASE = [
     "--device", "cpu",
 ]
 
+# Config grid (select via argv, e.g. `python _probe_stoch_erosion.py stoch_g1 stoch_g4`):
+# stoch_g1 = round-4 erosion repro; stoch_g4/g8 = the round-5 grace-period fix
+# (tests/core/test_prune_grace.py) under the same accelerated prune cadence; exact = the
+# known-clean control.
+CONFIGS = {
+    "stoch_g1": ["--grid.stoch-grad", "true"],
+    "stoch_g4": ["--grid.stoch-grad", "true", "--nef.prune-grace", "4"],
+    "stoch_g8": ["--grid.stoch-grad", "true", "--nef.prune-grace", "8"],
+    "exact": ["--grid.stoch-grad", "false"],
+}
+
 out = {}
-for name, extra in [("stoch", ["--grid.stoch-grad", "true"]),
-                    ("exact", ["--grid.stoch-grad", "false"])]:
-    r = main(BASE + extra)
+names = sys.argv[1:] or ["stoch_g1", "exact"]
+for name in names:
+    r = main(BASE + CONFIGS[name] + ["--trainer.exp-name", f"stoch-probe-{name}"])
     out[name] = {str(k): float(v) for k, v in r.get("psnr_by_epoch", {}).items()
                  if v is not None}
     print(name, out[name], flush=True)

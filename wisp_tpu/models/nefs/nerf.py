@@ -52,6 +52,7 @@ class NeuralRadianceField(BaseNeuralField):
                  bias: bool = False,
                  prune_density_decay: Optional[float] = PRUNE_DENSITY_DECAY_DEFAULT,
                  prune_min_density: Optional[float] = 0.6,
+                 prune_grace: int = 1,
                  *,
                  key=None):
         self.grid = grid
@@ -89,6 +90,19 @@ class NeuralRadianceField(BaseNeuralField):
 
         self.prune_density_decay = prune_density_decay
         self.prune_min_density = prune_min_density
+        # Grace period before a below-threshold cell is culled (round-5 erosion fix —
+        # results_round4.md postmortem 1): a cull is IRREVERSIBLE in practice (culled cells
+        # get no samples, so a gradient-noise dip freezes), but a below-threshold cell that
+        # is still marched keeps receiving unbiased gradients and recovers unless it is
+        # genuinely dead. With prune_grace=G, a cell is culled only after its keep-score
+        # stays below prune_min_density for G CONSECUTIVE prunes (per-cell streak counter,
+        # int32, fixed shape). G=1 is the reference behavior (cull on first dip); the
+        # stochastic-backward configs require G>1 to not erode long-horizon.
+        self.prune_grace = int(prune_grace)
+        self.prune_streak = None
+        if self.prune_grace > 1 and grid is not None \
+                and getattr(grid, "occupancy", None) is not None:
+            self.prune_streak = np.zeros(grid.occupancy.shape, np.int32)
         super().__init__()
 
     @staticmethod
@@ -199,7 +213,16 @@ class NeuralRadianceField(BaseNeuralField):
         density = jax.lax.stop_gradient(
             self.forward(channels="density", coords=samples, ray_d=views))
         occupancy = jnp.maximum(density[:, 0], occupancy)
-        mask = occupancy > self.prune_min_density
+        below = occupancy <= self.prune_min_density
+        if self.prune_grace > 1 and self.prune_streak is not None:
+            # grace-period culling (see __init__): cull only after G consecutive
+            # below-threshold prunes; any recovery resets the streak (and revives the
+            # cell if it was culled — the density re-query covers ALL tracked cells)
+            streak = jnp.where(below, self.prune_streak.astype(jnp.int32) + 1, 0)
+            mask = streak < self.prune_grace
+        else:
+            streak = self.prune_streak
+            mask = ~below
 
         # rewrite the bitfield: tracked cells get their new state, everything else stays off.
         # The fused cell-density field powers the tracers' transmittance early-termination
@@ -228,7 +251,7 @@ class NeuralRadianceField(BaseNeuralField):
             jnp.where(mask, dens_est, -1.0))
         new_blas = grid.blas.update_occupancy(bitfield, cell_density=dens_field)
         new_grid = grid.replace(occupancy=occupancy, blas=new_blas)
-        return self.replace(grid=new_grid)
+        return self.replace(grid=new_grid, prune_streak=streak)
 
     def public_properties(self) -> Dict[str, Any]:
         props = {

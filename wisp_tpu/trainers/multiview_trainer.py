@@ -276,9 +276,14 @@ class MultiviewTrainer(BaseTrainer):
             # tunnel each transfer is a round trip (see step()). dist bounds are static
             # per dataset and baked at trace time (self._ray_dist set in step()).
             packed, step_idx = batch
-            dmin, dmax = self._ray_dist
-            rays = Rays(origins=packed[:, 0:3], dirs=packed[:, 3:6],
-                        dist_min=dmin, dist_max=dmax)
+            if packed.shape[1] == 11:
+                # per-ray dist bounds ride as two extra packed columns (traced inputs)
+                rays = Rays(origins=packed[:, 0:3], dirs=packed[:, 3:6],
+                            dist_min=packed[:, 9], dist_max=packed[:, 10])
+            else:
+                dmin, dmax = self._ray_dist
+                rays = Rays(origins=packed[:, 0:3], dirs=packed[:, 3:6],
+                            dist_min=dmin, dist_max=dmax)
             img_gts = packed[:, 6:9]
         else:
             rays, img_gts, step_idx = batch
@@ -340,10 +345,30 @@ class MultiviewTrainer(BaseTrainer):
             # ONE host->device transfer for the whole batch (origins|dirs|rgb); the remote
             # tunnel pays a round trip per committed array (round-4 headline run: the
             # 8-transfer step loop spent ~450 ms/step in RTTs on a ~190 ms step)
-            packed = np.concatenate([np.asarray(rays.origins, np.float32),
-                                     np.asarray(rays.dirs, np.float32),
-                                     np.asarray(data["rgb"], np.float32)], axis=1)
-            self._ray_dist = (rays.dist_min, rays.dist_max)  # static, baked at trace time
+            cols = [np.asarray(rays.origins, np.float32),
+                    np.asarray(rays.dirs, np.float32),
+                    np.asarray(data["rgb"], np.float32)]
+            if np.ndim(rays.dist_min) > 0 or np.ndim(rays.dist_max) > 0:
+                # per-ray bounds (e.g. a dataset with per-view near/far arrays) must stay
+                # TRACED — baking an array constant would silently pin the first batch's
+                # values for the whole run. They ride as two extra packed columns.
+                cols.append(np.broadcast_to(
+                    np.asarray(rays.dist_min, np.float32).reshape(-1, 1),
+                    (num_rays, 1)))
+                cols.append(np.broadcast_to(
+                    np.asarray(rays.dist_max, np.float32).reshape(-1, 1),
+                    (num_rays, 1)))
+            else:
+                dist = (float(rays.dist_min), float(rays.dist_max))
+                if getattr(self, "_ray_dist", None) is not None \
+                        and self._ray_dist != dist:
+                    # scalar bounds are baked at trace time; a changed value with an
+                    # unchanged batch shape would otherwise be silently ignored
+                    log.info(f"ray dist bounds changed {self._ray_dist} -> {dist}; "
+                             "rebuilding the step function")
+                    self._step_fn = None
+                self._ray_dist = dist
+            packed = np.concatenate(cols, axis=1)
             batch = (packed, step_idx)
         rebuilt = self._step_fn is None and self._pre_training_done
         t0 = _time.time()

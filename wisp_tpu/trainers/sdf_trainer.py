@@ -105,12 +105,25 @@ class SDFTrainer(BaseTrainer):
 
     def step(self, data):
         n = len(data["coords"])
-        cols = [np.asarray(data["coords"], np.float32),
-                np.asarray(data["sdf"], np.float32).reshape(n, -1)]
-        if "rgb" in data and data["rgb"] is not None:
-            cols.append(np.asarray(data["rgb"], np.float32)[:, :3])
-        packed = np.concatenate(cols, axis=1)
-        loss, aux = self.run_step(packed)
+        rgb = data.get("rgb")
+        if isinstance(data["coords"], jax.Array):
+            # already device-resident — do NOT round-trip through host numpy (the pack
+            # exists to SAVE transfers; forcing a device->host fetch here would cost the
+            # exact RTT it removes). Pass the unpacked tuple layout instead.
+            batch = (data["coords"], data["sdf"].reshape(n, -1),
+                     rgb[:, :3] if rgb is not None else None)
+            loss, aux = self.run_step(batch)
+        else:
+            sdf = np.asarray(data["sdf"], np.float32).reshape(n, -1)
+            # the packed layout is positional (coords | sdf | rgb?); a multi-column sdf
+            # target would make compute_loss misparse columns 4:7 as rgb
+            assert sdf.shape[1] == 1, \
+                f"packed SDF layout requires a 1-column sdf target, got {sdf.shape}"
+            cols = [np.asarray(data["coords"], np.float32), sdf]
+            if rgb is not None:
+                cols.append(np.asarray(rgb, np.float32)[:, :3])
+            packed = np.concatenate(cols, axis=1)
+            loss, aux = self.run_step(packed)
         prev = self._pending_stats
         self._pending_stats = aux.get("host_stats")
         if prev is not None:
