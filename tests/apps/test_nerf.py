@@ -309,6 +309,40 @@ def test_nerf_lego_proxy_quality():
     assert result["psnr"] > 18.4, f"lego-proxy PSNR too low: {result}"
 
 
+def test_nerf_lego_proxy_quality_exact_backward():
+    """The configuration the flagship ACTUALLY ships (VERDICT r4 weak #6): the quality
+    gates above pin --grid.stoch-grad true, but the flagship pins the EXACT backward
+    (round-4 erosion postmortem) — so a regression of the exact-backward path passed
+    every tier. Same config as test_nerf_lego_proxy_quality with one flag flipped.
+    Calibrated: 19.98 dB at 20 epochs (round-5 CPU calibration; the stoch variant of the
+    same config measured 19.49). Floor = measured - 1."""
+    result = _run([
+        "--dataset.scene", "lego_proxy",
+        "--dataset.num-views", "20",
+        "--dataset.height", "128", "--dataset.width", "128",
+        "--dataset-transform.num-samples", "4096",
+        "--grid.constructor", "HashGrid.from-geometric",
+        "--grid.feature-std", "1e-9",
+        "--grid.num-lods", "8",
+        "--grid.codebook-bitwidth", "13",
+        "--grid.min-grid-res", "16",
+        "--grid.max-grid-res", "256",
+        "--grid.multiscale-type", "cat",
+        "--grid.dense-lod-matmul", "bf16",
+        "--grid.stoch-grad", "false",
+        "--tracer.raymarch-type", "ray",
+        "--tracer.num-steps", "192",
+        "--tracer.compaction", "0.5",
+        "--tracer.early-stop", "0.01",
+        "--tracer.lod-spacing-scale", "1.0",
+        "--tracer.march-stride", "2",
+        "--trainer.adaptive-compaction", "true",
+        "--trainer.prune-every", "3",
+        "--trainer.start-prune", "6",
+    ], epochs=20)
+    assert result["psnr"] > 18.9, f"exact-backward lego-proxy PSNR too low: {result}"
+
+
 def test_nerf_pruning_runs_and_carves_occupancy():
     """Pruning (jitted occupancy decay + density requery + bitfield rewrite) runs at its
     cadence and removes empty cells without breaking training
