@@ -34,6 +34,9 @@ def test_supervise_kills_stalled_child_and_relaunches(tmp_path):
         import os, sys, time
         marker = {marker!r}
         hb = os.environ["WISP_HEARTBEAT_FILE"]
+        # stamp at boot so staleness measures in-run wedges, not interpreter startup
+        # (this contended single-core box can take >5 s just to reach main)
+        open(hb, "w").write('{{"phase": "boot"}}')
         if not os.path.exists(marker):
             open(marker, "w").write("x")
             time.sleep(300)   # simulated tunnel wedge: no heartbeat, never returns
@@ -41,8 +44,9 @@ def test_supervise_kills_stalled_child_and_relaunches(tmp_path):
         sys.exit(0)
     """)
     hb = str(tmp_path / "hb.json")
-    # stall_s must cover interpreter startup on this contended single-core box
-    rc = supervise([sys.executable, script], hb, stall_s=5.0, poll_s=0.2, max_restarts=2)
+    # stall_s covers interpreter boot under full CPU contention (1-core box with a
+    # training host process competing: a trivial child has been observed to need >5 s)
+    rc = supervise([sys.executable, script], hb, stall_s=15.0, poll_s=0.2, max_restarts=2)
     assert rc == 0
     assert os.path.exists(marker), "first attempt should have launched"
     assert json.load(open(hb))["phase"] == "ok"
@@ -63,13 +67,16 @@ def test_supervise_heartbeat_keeps_child_alive(tmp_path):
     script = _write_script(tmp_path, """
         import os, sys, time
         hb = os.environ["WISP_HEARTBEAT_FILE"]
-        for i in range(8):
+        # run LONGER than stall_s in total, stamping between ops — survival proves the
+        # stamps extend the deadline (not merely that the child finished early)
+        for i in range(40):
             open(hb, "w").write('{"i": %d}' % i)
             time.sleep(0.5)
         sys.exit(0)
     """)
     hb = str(tmp_path / "hb.json")
-    rc = supervise([sys.executable, script], hb, stall_s=4.0, poll_s=0.2, max_restarts=0)
+    # stall_s > boot-under-contention (see above) + the longest stamp gap (0.5 s)
+    rc = supervise([sys.executable, script], hb, stall_s=15.0, poll_s=0.2, max_restarts=0)
     assert rc == 0
 
 

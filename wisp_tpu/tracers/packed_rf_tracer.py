@@ -82,7 +82,8 @@ class PackedRFTracer(BaseTracer):
     def trace(self, nef, rays, channels, extra_channels,
               lod_idx=None, raymarch_type="voxel", num_steps=64, step_size=1.0,
               bg_color=(1.0, 1.0, 1.0), key=None, compaction=None, early_stop=None,
-              lod_spacing_scale=None, march_budget=None, march_stride=None):
+              lod_spacing_scale=None, march_budget=None, march_stride=None,
+              density_feedback=False):
         assert nef.grid is not None, "this tracer requires a grid"
         n = rays.origins.shape[0]
         if lod_idx is None:
@@ -174,6 +175,37 @@ class PackedRFTracer(BaseTracer):
         color = scatter_back(out["rgb"])
         density = scatter_back(out["density"])[..., 0]
 
+        # Sample-fed density keep-score (instant-ngp's density-grid update from TRAINING
+        # samples, nerf_network.cu density_grid semantics): scatter-max the per-sample
+        # densities into the blas's cell grid. Training samples concentrate exactly on the
+        # learned density shell the RENDERER sees — unlike the prune's single uniform
+        # random point per cell, which systematically misses a sub-voxel surface shell and
+        # (with the 0.95/prune keep-score decay) eventually culls the most opaque visible
+        # cells. Measured round 5 on the exact-backward flagship at epoch 66: 40.9% of the
+        # GT SURFACE cells culled, with culled surface cells DENSER (GT p90 14.1) than
+        # kept ones (7.5) — the erosion that was misattributed to the stochastic backward
+        # in round 4 (results_round4.md). One rank-1 scatter-max (~8 ns/idx) per step.
+        density_max_grid = None
+        if density_feedback:
+            blas = getattr(nef.grid, "blas", None)
+            blas_level = getattr(blas, "max_level", None)
+            if blas_level is not None and getattr(blas, "occ_grid", None) is not None:
+                from wisp_tpu.ops.spc import quantize_points_jnp
+                resb = 2 ** blas_level
+                if compaction and compaction > 0.0:
+                    fb_valid = idx < n * s
+                    fb_q = quantize_points_jnp(cflat, blas_level)
+                    fb_ids = (fb_q[:, 0] * resb + fb_q[:, 1]) * resb + fb_q[:, 2]
+                    fb_ids = jnp.where(fb_valid, fb_ids, resb ** 3)
+                    fb_d = jnp.where(fb_valid, out["density"][:, 0], 0.0)
+                else:
+                    fb_q = quantize_points_jnp(flat, blas_level)
+                    fb_ids = (fb_q[:, 0] * resb + fb_q[:, 1]) * resb + fb_q[:, 2]
+                    fb_ids = jnp.where(mask.reshape(-1), fb_ids, resb ** 3)
+                    fb_d = jnp.where(mask.reshape(-1), out["density"][:, 0], 0.0)
+                density_max_grid = jnp.zeros((resb ** 3,), jnp.float32).at[fb_ids].max(
+                    jax.lax.stop_gradient(fb_d.astype(jnp.float32)), mode="drop")
+
         tau = density * deltas * mask.astype(density.dtype)            # optical thickness
         sum_prev = jnp.cumsum(tau, axis=-1) - tau                      # exclusive prefix
         transmittance = jnp.exp(-sum_prev) * (1.0 - jnp.exp(-tau))     # weights [R, S]
@@ -196,7 +228,8 @@ class PackedRFTracer(BaseTracer):
         # prev_num_samples host-side, packed_rf_tracer.py:56-66)
         num_valid = jnp.sum(mask.astype(jnp.float32))
         return RenderBuffer(depth=depth, hit=hit[:, None], rgb=rgb, alpha=alpha,
-                            num_valid_samples=num_valid, **extra_outputs)
+                            num_valid_samples=num_valid,
+                            density_max_grid=density_max_grid, **extra_outputs)
 
     def public_properties(self) -> Dict[str, Any]:
         return {

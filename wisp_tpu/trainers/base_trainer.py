@@ -256,6 +256,22 @@ class BaseTrainer(ABC):
             (loss, aux), grads = jax.value_and_grad(inner, has_aux=True)(diff)
             return loss, aux, grads
 
+        if getattr(self, "_density_feedback", False):
+            # single-chip variant carrying the per-cell max of training-sample densities
+            # between prunes (MultiviewTrainer prune_sample_feedback; the dp shard_map step
+            # keeps the query-only prune — a per-shard grid would need a pmax collective
+            # and break the gradient-only-collectives invariant, see dp_scaling.py)
+            @partial(jax.jit, donate_argnums=(0, 1, 5))
+            def step_fn_fb(diff, opt_state, nondiff, batch, step_no, dmax):
+                key = jax.random.fold_in(base_key, step_no)
+                loss, aux, grads = value_and_grad_fn(diff, nondiff, batch, key)
+                dmax = jnp.maximum(dmax, aux.pop("density_grid_update"))
+                updates, opt_state = optimizer.update(grads, opt_state, diff)
+                diff = optax.apply_updates(diff, updates)
+                return diff, opt_state, loss, aux, dmax
+
+            return step_fn_fb
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def step_fn(diff, opt_state, nondiff, batch, step_no):
             key = jax.random.fold_in(base_key, step_no)
@@ -478,6 +494,12 @@ class BaseTrainer(ABC):
         if self.mesh is not None:
             from wisp_tpu.parallel import shard_batch
             batch = shard_batch(batch, self.mesh)
+        if getattr(self, "_density_feedback", False):
+            (self._diff, self.opt_state, loss, aux,
+             self._density_max_grid) = self._step_fn(
+                self._diff, self.opt_state, self._nondiff, batch,
+                np.uint32(max(self.total_iterations, 0)), self._density_max_grid)
+            return loss, aux
         self._diff, self.opt_state, loss, aux = self._step_fn(
             self._diff, self.opt_state, self._nondiff, batch,
             np.uint32(max(self.total_iterations, 0)))

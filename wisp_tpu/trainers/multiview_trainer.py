@@ -48,6 +48,13 @@ class ConfigMultiviewTrainer(ConfigBaseTrainer):
     target_sample_size: int = 2 ** 18
     save_valid_imgs: bool = False
     adaptive_compaction: bool = False
+    # Feed the prune keep-score the per-cell max of TRAINING-sample densities (instant-ngp
+    # density-grid semantics; see NeuralRadianceField.prune). Fixes the long-horizon
+    # surface-cell erosion the single-point prune query causes once in-training early
+    # termination thins the learned density shell (round-5 postmortem: the round-4
+    # "stochastic backward erosion" reproduced with the EXACT backward — 40.9% of GT
+    # surface cells culled by epoch 66). Single-chip; dp steps keep the query-only prune.
+    prune_sample_feedback: bool = True
     # HBM-safe ceiling on num_rays * num_steps * compaction_budget — the compacted-sample
     # slot count that drives the hash-interp row-gather's padded temp (~512 B/slot on TPU:
     # 2^21 slots ≈ 8.6 GB peak, fits 16 GB; 2^22 OOMs). Adaptive rays and adaptive
@@ -92,6 +99,18 @@ class MultiviewTrainer(BaseTrainer):
         # calc_adaptive_compaction — single-step shrink caused training collapse)
         self._frac_window = []
         self._steps_since_retune = 0
+        # Sample-fed prune keep-score (see NeuralRadianceField.prune docstring): the step
+        # carries a per-cell running max of training-sample densities, consumed and reset
+        # at each prune. Single-chip only (the dp step's collectives stay gradient-only).
+        self._density_feedback = False
+        self._density_max_grid = None
+        blas = getattr(getattr(pipeline.nef, "grid", None), "blas", None)
+        if (cfg.prune_sample_feedback and mesh is None and cfg.prune_every > -1
+                and getattr(pipeline.nef, "prune_density_decay", None) is not None
+                and getattr(blas, "occ_grid", None) is not None):
+            self._density_feedback = True
+            self._density_max_grid = jnp.zeros(
+                ((2 ** blas.max_level) ** 3,), jnp.float32)
 
     def pre_training(self):
         super().pre_training()
@@ -111,6 +130,8 @@ class MultiviewTrainer(BaseTrainer):
         })
         if isinstance(self.train_dataset.transform, SampleRays):
             extra["transform_num_samples"] = self.train_dataset.transform.num_samples
+        if self._density_feedback and self._density_max_grid is not None:
+            extra["density_max_grid"] = np.asarray(self._density_max_grid)
         return extra
 
     def load_extra_state(self, extra):
@@ -130,6 +151,8 @@ class MultiviewTrainer(BaseTrainer):
                 and tracer.compaction != budget:
             self.refresh_pipeline(
                 self.pipeline.replace(tracer=tracer.replace(compaction=budget)))
+        if self._density_feedback and extra.get("density_max_grid") is not None:
+            self._density_max_grid = jnp.asarray(extra["density_max_grid"])
 
     # -- pruning (reference :85-93) -----------------------------------------------------------
     _prune_fn = None
@@ -147,8 +170,18 @@ class MultiviewTrainer(BaseTrainer):
                 # the whole prune step (density re-query over every dense cell + threshold +
                 # bitfield rewrite) is one jit — eager dispatch over the device tunnel costs
                 # seconds PER OP (CLAUDE.md), and prune touches millions of cells
-                self._prune_fn = jax.jit(lambda nef, key: nef.prune(key=key))
-            new_nef = self._prune_fn(pipeline.nef, self.next_key())
+                if self._density_feedback:
+                    self._prune_fn = jax.jit(
+                        lambda nef, key, smax: nef.prune(key=key, sample_max=smax))
+                else:
+                    self._prune_fn = jax.jit(lambda nef, key: nef.prune(key=key))
+            if self._density_feedback:
+                new_nef = self._prune_fn(pipeline.nef, self.next_key(),
+                                         self._density_max_grid)
+                # fresh evidence window per prune interval
+                self._density_max_grid = jnp.zeros_like(self._density_max_grid)
+            else:
+                new_nef = self._prune_fn(pipeline.nef, self.next_key())
             self.refresh_pipeline(pipeline.replace(nef=new_nef))
 
     # -- adaptive ray batching (reference :95-109) ---------------------------------------------
@@ -294,7 +327,8 @@ class MultiviewTrainer(BaseTrainer):
             num_lods = pipeline.nef.grid.num_lods
             weights = jnp.asarray([2.0 ** i for i in range(num_lods)])
             lod_idx = jax.random.choice(key, num_lods, p=weights / weights.sum())
-        rb = pipeline(rays=rays, lod_idx=lod_idx, channels=["rgb", "alpha"], key=key)
+        rb = pipeline(rays=rays, lod_idx=lod_idx, channels=["rgb", "alpha"], key=key,
+                      density_feedback=self._density_feedback)
 
         if self.cfg.rgb_loss_type == "l2":
             rgb_loss = (rb.rgb - img_gts) ** 2
@@ -327,8 +361,12 @@ class MultiviewTrainer(BaseTrainer):
         # scalars (each fetch is a tunnel round trip). Under dp this is pmean'd per
         # dp_shard_map's aux rule; step() rescales the count element by mesh size.
         host_stats = jnp.stack([loss, rgb_loss, num_valid_samples])
-        return loss, {"rgb_loss": rgb_loss, "opacity_loss": opacity_loss,
-                      "num_valid_samples": num_valid_samples, "host_stats": host_stats}
+        aux = {"rgb_loss": rgb_loss, "opacity_loss": opacity_loss,
+               "num_valid_samples": num_valid_samples, "host_stats": host_stats}
+        if self._density_feedback:
+            # consumed (and popped) by the step fn's running-max carry — never fetched
+            aux["density_grid_update"] = rb.density_max_grid
+        return loss, aux
 
     # deferred one-step stats fetch: (device_array, num_rays_of_that_step)
     _pending_stats = None
