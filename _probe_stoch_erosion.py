@@ -58,10 +58,21 @@ BASE = [
 # (tests/core/test_prune_grace.py) under the same accelerated prune cadence; exact = the
 # known-clean control.
 CONFIGS = {
-    "stoch_g1": ["--grid.stoch-grad", "true"],
-    "stoch_g4": ["--grid.stoch-grad", "true", "--nef.prune-grace", "4"],
-    "stoch_g8": ["--grid.stoch-grad", "true", "--nef.prune-grace", "8"],
-    "exact": ["--grid.stoch-grad", "false"],
+    # no-feedback controls (the pre-round-5 behavior; prune-sample-feedback defaults ON
+    # since the round-5 erosion root-cause fix — see test_prune_sample_feedback.py)
+    "stoch_g1": ["--grid.stoch-grad", "true",
+                 "--trainer.prune-sample-feedback", "false"],
+    "stoch_g4": ["--grid.stoch-grad", "true", "--nef.prune-grace", "4",
+                 "--trainer.prune-sample-feedback", "false"],
+    "stoch_g8": ["--grid.stoch-grad", "true", "--nef.prune-grace", "8",
+                 "--trainer.prune-sample-feedback", "false"],
+    "exact": ["--grid.stoch-grad", "false",
+              "--trainer.prune-sample-feedback", "false"],
+    # round-5 fix variants: sample-fed keep-score (default-on, stated explicitly)
+    "stoch_fb": ["--grid.stoch-grad", "true",
+                 "--trainer.prune-sample-feedback", "true"],
+    "exact_fb": ["--grid.stoch-grad", "false",
+                 "--trainer.prune-sample-feedback", "true"],
 }
 
 out = {}

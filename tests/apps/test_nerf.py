@@ -343,6 +343,48 @@ def test_nerf_lego_proxy_quality_exact_backward():
     assert result["psnr"] > 18.9, f"exact-backward lego-proxy PSNR too low: {result}"
 
 
+def test_nerf_prune_erosion_trajectory_with_sample_feedback():
+    """Long-horizon prune-erosion gate (VERDICT r4 #4, root-caused in round 5).
+
+    Accelerated prune cadence (~6 prunes/epoch vs the flagship's 1) compresses the
+    flagship's 90-prune horizon into 20 epochs. With the fast path active (in-training
+    early termination + stride-2 march) the learned density is a sub-voxel shell; the
+    reference-style single-point prune query then erodes visible surface cells
+    (r5-flagship: 29.13 dB @25 -> 18.60 @75 with the EXACT backward). The sample-fed
+    keep-score (prune_sample_feedback, default-on) must keep the trajectory clean:
+    PSNR@20 within 1 dB of PSNR@10 and above an absolute floor.
+    Calibrated round 5: fb 27.33 @10 -> 27.58 @20 (rises); query-only control erodes to
+    10.85 @20 under the same cadence (see _probe_stoch_erosion.py mini_fb/mini_nofb)."""
+    base = [
+        "--grid.constructor", "HashGrid.from-geometric",
+        "--grid.feature-std", "1e-9",
+        "--grid.num-lods", "8",
+        "--grid.codebook-bitwidth", "12",
+        "--grid.min-grid-res", "16",
+        "--grid.max-grid-res", "128",
+        "--grid.multiscale-type", "cat",
+        "--grid.dense-lod-matmul", "bf16",
+        "--tracer.raymarch-type", "ray",
+        "--tracer.num-steps", "128",
+        "--tracer.compaction", "0.5",
+        "--tracer.early-stop", "0.01",
+        "--tracer.march-stride", "2",
+        "--trainer.adaptive-compaction", "true",
+        "--nef.prune-density-decay", "0.95",
+        "--nef.prune-min-density", "2.956033378250884",
+        "--trainer.prune-every", "2",
+        "--trainer.start-prune", "36",
+        "--trainer.valid-every", "10",
+        "--trainer.prune-sample-feedback", "true",
+    ]
+    result = _run(base, epochs=20)
+    curve = {k: v for k, v in result.get("psnr_by_epoch", {}).items() if v is not None}
+    assert curve.get(10) is not None and curve.get(20) is not None, f"curve: {curve}"
+    assert curve[20] > curve[10] - 1.0, \
+        f"erosion under accelerated pruning: {curve}"
+    assert curve[20] > 24.0, f"PSNR too low under accelerated pruning: {curve}"
+
+
 def test_nerf_pruning_runs_and_carves_occupancy():
     """Pruning (jitted occupancy decay + density requery + bitfield rewrite) runs at its
     cadence and removes empty cells without breaking training

@@ -132,3 +132,36 @@ def test_adaptive_compaction_no_oscillation_at_high_view_variance():
         t._prev_num_samples = 0.009 * total
         t.calc_adaptive_compaction(4096)
     assert t.pipeline.tracer.compaction == pytest.approx(2.0 ** -5.5)
+
+
+def test_compaction_shrink_is_cost_aware():
+    """VERDICT r4 #8: a compaction SHRINK (pure perf, zero quality effect) only fires
+    when the measured per-step saving amortizes the measured recompile cost over the
+    remaining steps with 2x margin — on the remote-TPU tunnel a retune recompile is
+    3-8 min and half-octave shrink savings often never pay it back."""
+    tracer = PackedRFTracer(num_steps=512, compaction=0.125)
+    t = _bare_trainer(tracer, 4096, adaptive_compaction=True,
+                      target_sample_size=2 ** 18, max_compacted_samples=2 ** 21)
+    t.iterations_per_epoch = 100
+    t.max_epochs = 100
+    t.epoch, t.iteration = 1, 0   # total_iterations = 0: whole run remains
+    t._step_wall_ema = 0.7        # flagship-like step
+    t._retune_cost_ema = 240.0    # tunnel recompile: 4 min
+
+    # late in the run the same shrink cannot amortize -> refused
+    t.epoch = 99
+    assert not t._shrink_pays_off(0.125, 0.0625), \
+        "a 4-min recompile cannot amortize over ~100 remaining steps"
+
+    # early in the run, halving the budget saves ~0.7*0.7/2 s/step over ~10k steps
+    t.epoch = 1
+    assert t._shrink_pays_off(0.125, 0.0625)
+
+    # tiny (half-octave-style) shrinks save too little even early
+    assert not t._shrink_pays_off(0.125, 0.118), \
+        "a ~5% slot saving must not trigger a 4-min recompile"
+
+    # with no recompile measurement yet, the prior (20 steps/compile) applies and a
+    # big early shrink still goes through
+    t._retune_cost_ema = None
+    assert t._shrink_pays_off(0.125, 0.0625)
