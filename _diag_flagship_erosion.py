@@ -70,9 +70,10 @@ def main():
     centers = (g + 0.5) / res * 2 - 1
     dens = np.zeros(res ** 3, np.float32)
     B = 2 ** 20
+    # MUST be jitted: eager dispatch over the TPU tunnel is 1-6 s PER OP (CLAUDE.md)
+    dens_fn = jax.jit(lambda p: scene_density_color(p)[0][:, 0])
     for i in range(0, res ** 3, B):
-        d, _ = scene_density_color(jnp.asarray(centers[i:i + B], jnp.float32))
-        dens[i:i + B] = np.asarray(d[:, 0])
+        dens[i:i + B] = np.asarray(dens_fn(jnp.asarray(centers[i:i + B], jnp.float32)))
     gt_occ = (dens > 0.5).reshape(res, res, res)
     dil = gt_occ.copy()
     for ax in range(3):

@@ -229,6 +229,11 @@ def main():
             "stoch_grad": stoch_grad,
             "valid_sample_frac": round(float(aux.get("num_valid_samples", 0.0))
                                        / (num_rays * samples_per_ray), 4),
+            # voxel-mode honesty: rays whose visible occupied voxels exceeded march_budget
+            # (must be 0 for an 'honest' number — dropped content is counted, not silent)
+            "num_overflow_rays": (round(float(aux["num_overflow"]), 1)
+                                  if "num_overflow" in aux else None),
+            "march_budget": march_budget if raymarch_type == "voxel" else None,
             "samples_per_sec": round(num_rays * samples_per_ray * iters / dt, 1),
             "cold_start_rays_per_sec": None,
             "device": str(jax.devices()[0]),

@@ -49,6 +49,10 @@ class ASRaymarchResults:
     mask: jax.Array           # [R, S] sample validity (inside occupied cells)
     cell_density: jax.Array = None  # [R, S] per-sample density EMA (0 until pruning runs)
     pidx: Optional[jax.Array] = None  # [R, S] cell index per sample (when available)
+    # scalar count of rays whose occupied (and, with coarse early termination, still
+    # visible) segment count exceeded the marcher's per-ray capacity — dropped content is
+    # COUNTED, never silent (honesty contract shared with PackedSDFTracer.num_overflow)
+    num_overflow: Optional[jax.Array] = None
 
 
 class BaseAS:

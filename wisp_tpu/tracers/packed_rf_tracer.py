@@ -112,6 +112,13 @@ class PackedRFTracer(BaseTracer):
 
         march_kw = {"budget": march_budget} if (march_budget and
                                                raymarch_type == "voxel") else {}
+        if raymarch_type == "voxel" and early_stop and early_stop > 0.0:
+            # coarse-phase transmittance cull (octree_as._raymarch_voxel): occluded
+            # occupied voxels stop consuming per-ray capacity, so march_budget can honestly
+            # shrink to the VISIBLE voxel count — the slot-proportional costs (compaction
+            # search, scatter-back) scale with budget. Dropped visible voxels are counted
+            # in the num_overflow channel, never silent.
+            march_kw["early_stop"] = float(early_stop)
         if march_stride and march_stride > 1 and raymarch_type in ("ray", "uniform"):
             march_kw["stride"] = int(march_stride)
         mr = nef.grid.raymarch(rays, raymarch_type=raymarch_type, num_samples=num_steps,
@@ -229,6 +236,7 @@ class PackedRFTracer(BaseTracer):
         num_valid = jnp.sum(mask.astype(jnp.float32))
         return RenderBuffer(depth=depth, hit=hit[:, None], rgb=rgb, alpha=alpha,
                             num_valid_samples=num_valid,
+                            num_overflow=mr.num_overflow,
                             density_max_grid=density_max_grid, **extra_outputs)
 
     def public_properties(self) -> Dict[str, Any]:

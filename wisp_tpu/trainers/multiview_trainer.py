@@ -363,6 +363,11 @@ class MultiviewTrainer(BaseTrainer):
         host_stats = jnp.stack([loss, rgb_loss, num_valid_samples])
         aux = {"rgb_loss": rgb_loss, "opacity_loss": opacity_loss,
                "num_valid_samples": num_valid_samples, "host_stats": host_stats}
+        if getattr(rb, "num_overflow", None) is not None:
+            # voxel-mode capacity honesty: rays whose visible occupied voxels exceeded
+            # the march budget (bench reports it; a nonzero steady-state value means
+            # march_budget must grow)
+            aux["num_overflow"] = rb.num_overflow
         if self._density_feedback:
             # consumed (and popped) by the step fn's running-max carry — never fetched
             aux["density_grid_update"] = rb.density_max_grid
