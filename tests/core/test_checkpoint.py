@@ -59,6 +59,71 @@ def test_checkpoint_roundtrip(tmp_path):
     t2.step(data)
 
 
+def _make_nerf_trainer(tmp_path, seed=0):
+    from wisp_tpu.accelstructs import OctreeAS
+    from wisp_tpu.datasets import RandomViewDataset
+    from wisp_tpu.datasets.transforms.ray_sampler import SampleRays
+    from wisp_tpu.models.nefs.nerf import NeuralRadianceField
+    from wisp_tpu.tracers import PackedRFTracer
+    from wisp_tpu.trainers.multiview_trainer import (ConfigMultiviewTrainer,
+                                                     MultiviewTrainer)
+
+    blas = OctreeAS.make_dense(3)
+    grid = HashGrid.from_geometric(blas=blas, feature_dim=2, num_lods=2,
+                                   codebook_bitwidth=8, min_grid_res=4, max_grid_res=8,
+                                   multiscale_type="cat", feature_std=1e-9,
+                                   key=jax.random.PRNGKey(seed))
+    nef = NeuralRadianceField(grid=grid, hidden_dim=8, bias=True,
+                              prune_density_decay=0.95, prune_min_density=2.0,
+                              key=jax.random.PRNGKey(seed + 1))
+    ds = RandomViewDataset(num_views=2, height=8, width=8, num_gt_samples=16,
+                           transform=SampleRays(num_samples=32))
+    cfg = ConfigMultiviewTrainer(max_epochs=1, render_every=-1, save_every=-1,
+                                 valid_every=-1, exp_name="resume-test")
+    tracker = Tracker(ConfigTracker(tensorboard=False, log_dir=str(tmp_path / "logs")),
+                      "resume-test")
+    return MultiviewTrainer(cfg=cfg, pipeline=Pipeline(nef=nef, tracer=PackedRFTracer(
+        raymarch_type="ray", num_steps=16)), train_dataset=ds, tracker=tracker)
+
+
+@pytest.mark.kernel
+def test_resume_restores_pruned_blas_routing(tmp_path):
+    """Regression (round 5): `OctreeAS.dense` is a STATIC pytree attr flipped to False by
+    the first prune; checkpoints restore the occ_grid/cell_density ARRAYS but a freshly
+    constructed make_dense blas kept dense=True, routing _sample_grid/occupancy_at around
+    the fused occupancy field — a watchdog-resumed run silently marched with NO occupancy
+    mask (and no transmittance early termination)."""
+    import jax.numpy as jnp
+
+    t1 = _make_nerf_trainer(tmp_path)
+    pipeline = t1.sync_pipeline()
+    assert pipeline.nef.grid.blas.dense
+    # prune with a sample-fed keep-score that keeps a distinctive subset
+    smax = jnp.zeros((8 ** 3,), jnp.float32).at[jnp.asarray([1, 7, 100])].set(10.0)
+    new_nef = pipeline.nef.prune(key=jax.random.PRNGKey(0), sample_max=smax)
+    t1.refresh_pipeline(pipeline.replace(nef=new_nef))
+    occ1 = np.asarray(t1.sync_pipeline().nef.grid.blas.occ_grid, bool)
+    assert not t1.sync_pipeline().nef.grid.blas.dense
+    assert 0 < occ1.sum() < occ1.size
+    path = save_checkpoint(t1, str(tmp_path / "ckpt"), backend="pickle")
+
+    t2 = _make_nerf_trainer(tmp_path, seed=5)
+    assert t2.sync_pipeline().nef.grid.blas.dense
+    restore_checkpoint(t2, path)
+    blas2 = t2.sync_pipeline().nef.grid.blas
+    assert not blas2.dense, "restored blas must re-enter the pruned-state routing"
+    np.testing.assert_array_equal(np.asarray(blas2.occ_grid, bool), occ1)
+    # the restored marcher actually consults the bitfield: a ray through culled space
+    # yields no valid samples
+    from wisp_tpu.core import Rays
+    rays = Rays(jnp.asarray([[0.0, 0.0, -2.0]]), jnp.asarray([[0.0, 0.0, 1.0]]),
+                0.0, 4.0)
+    mr1 = t1.sync_pipeline().nef.grid.blas.raymarch(rays, raymarch_type="ray",
+                                                    num_samples=32, key=None)
+    mr2 = blas2.raymarch(rays, raymarch_type="ray", num_samples=32, key=None)
+    np.testing.assert_array_equal(np.asarray(mr1.mask), np.asarray(mr2.mask))
+
+
 def test_state_dict_path_keyed_roundtrip(tmp_path):
     """save_model(model_format='state_dict') must emit PATH-keyed arrays reloadable into a
     fresh same-architecture pipeline via load_state_dict (VERDICT r1 weak #6 — the old

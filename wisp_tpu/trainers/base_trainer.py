@@ -362,12 +362,36 @@ class BaseTrainer(ABC):
     def extra_state(self):
         """Subclass hook: small host-side state (adaptive tuners etc.) to ride in
         checkpoints. Must be pickleable; restored via :meth:`load_extra_state`."""
-        return {"done": not self.is_optimization_running,
-                "elapsed_time": self.scene_state.optimization.elapsed_time}
+        state = {"done": not self.is_optimization_running,
+                 "elapsed_time": self.scene_state.optimization.elapsed_time}
+        blas = getattr(getattr(self.pipeline.nef, "grid", None), "blas", None)
+        if blas is not None and hasattr(blas, "dense"):
+            # `dense` is a STATIC pytree attr flipped to False by the first prune
+            # (octree_as.update_occupancy); the checkpoint restores the occ_grid /
+            # cell_density ARRAYS but a freshly-constructed make_dense blas keeps
+            # dense=True, which routes _sample_grid/occupancy_at around the fused
+            # occupancy+density field — a resumed run would silently march with NO
+            # occupancy mask (and no early termination). Record it so restore can
+            # re-apply the pruned-state layout.
+            state["blas_dense"] = bool(blas.dense)
+        return state
 
     def load_extra_state(self, extra):
         self._restored_done = bool(extra.get("done", False))
         self.scene_state.optimization.elapsed_time = extra.get("elapsed_time", 0.0)
+        if extra.get("blas_dense") is False:
+            pipeline = self.sync_pipeline()
+            blas = getattr(getattr(pipeline.nef, "grid", None), "blas", None)
+            if blas is not None and getattr(blas, "dense", False) \
+                    and getattr(blas, "occ_grid", None) is not None:
+                # re-enter the pruned-state layout (see extra_state): array contents are
+                # already the restored ones; update_occupancy only flips the static
+                # routing (dense=False) with a fresh treedef
+                new_blas = blas.update_occupancy(blas.occ_grid,
+                                                 cell_density=blas.cell_density)
+                self.refresh_pipeline(pipeline.replace(
+                    nef=pipeline.nef.replace(
+                        grid=pipeline.nef.grid.replace(blas=new_blas))))
 
     def post_training(self):
         self.sync_pipeline()
