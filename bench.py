@@ -9,14 +9,14 @@ Workload mirrors the reference hash-lego 'quick' config scale: 16-LOD hash grid 
 max res 512), hidden 64 decoders, 'ray' marching at 512 steps, 4096 rays/step, huber loss,
 AdamW — full training step (fwd + bwd + optimizer) measured after warmup.
 
-Defaults run the validated TPU fast path (PSNR parity shown in
-tests/apps/test_nerf.py::test_nerf_fast_path_quality and docs/pages/results_round2.md):
-dense-LOD MXU matmul (bf16), transmittance early termination (density EMA warmed to the
-steady-state the trainer's pruning maintains), spacing-based LOD truncation, and a
-compaction budget matched to the measured valid fraction (the trainer retunes this
-adaptively; the bench pins the steady-state value). Env knobs disable each lever:
-BENCH_DENSE_MATMUL=none BENCH_EARLY_STOP=0 BENCH_LOD_SCALE=0 BENCH_COMPACTION=0.0625
-reproduces the round-1 configuration.
+Defaults run the validated TPU fast path at the SHIPPING TRAIN semantics (round-5
+erosion postmortem, nerf_hash_lego_proxy.yaml): dense-LOD MXU matmul (bf16),
+spacing-based LOD truncation, stride-2 occupancy march, exact backward, NO density
+early termination (the cell-peak tau cull erodes training long-horizon; it remains a
+render-time lever), and a compaction budget covering the UNCULLED valid fraction
+(0.0625 >= measured 0.043). Env knobs: BENCH_EARLY_STOP=0.01 BENCH_COMPACTION=0.02
+reproduces the pre-round-5 early-termination number (frozen-field render lever);
+BENCH_DENSE_MATMUL=none BENCH_LOD_SCALE=0 BENCH_MARCH_STRIDE=1 disable the others.
 """
 
 import json
@@ -85,12 +85,20 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 20))
     num_lods = int(os.environ.get("BENCH_LODS", 16))
     bitwidth = int(os.environ.get("BENCH_BITWIDTH", 19))
-    compaction = float(os.environ.get("BENCH_COMPACTION", 0.02))
+    # Round-5 honesty reset: the shipping TRAIN config runs WITHOUT density early
+    # termination (the cell-peak tau estimate wrongly culls grazing rays' visible
+    # samples once the field sharpens — the long-horizon erosion root cause, see
+    # nerf_hash_lego_proxy.yaml + _probe_graze_cull.py). The bench therefore defaults
+    # to early_stop 0.0, and the compaction budget must cover the UNCULLED valid
+    # fraction (measured 0.043 at these shapes on the bench scene; 0.02 would silently
+    # truncate) -> 0.0625. BENCH_EARLY_STOP=0.01 BENCH_COMPACTION=0.02 reproduces the
+    # old render-lever number (legitimate for frozen-field inference, not training).
+    compaction = float(os.environ.get("BENCH_COMPACTION", 0.0625))
     sparse = os.environ.get("BENCH_SPARSE", "1") == "1"
     dense_matmul = os.environ.get("BENCH_DENSE_MATMUL", "bf16") or None
     if dense_matmul in ("", "none", "0"):
         dense_matmul = None
-    early_stop = float(os.environ.get("BENCH_EARLY_STOP", 0.01))
+    early_stop = float(os.environ.get("BENCH_EARLY_STOP", 0.0))
     lod_spacing_scale = float(os.environ.get("BENCH_LOD_SCALE", 1.0))
     # stride-2 occupancy march (round 4 fast path): halves the march gather count when
     # sample spacing < voxel size; PSNR-gated (test_nerf_fast_path_quality). 1 = exact.
