@@ -248,7 +248,13 @@ def test_nerf_fast_path_quality():
     cell-density path that early_stop and march_stride ride) ACTUALLY run inside the test
     budget — the r2-r3 version left start_prune at its 1000-iteration default, so those
     layers were silently inert here (round-4 finding). Measured with all levers on:
-    28.33 dB at 15 epochs (plain path r2: 28.2); floor = measured - 1."""
+    28.33 dB at 15 epochs (plain path r2: 28.2); floor = measured - 1.
+
+    NOTE (round 5): early_stop and stoch_grad are BENCH/RENDER levers banned from the
+    flagship TRAIN config (long-horizon erosion postmortems, results_round5.md); this
+    gate keeps asserting they are short-horizon-quality-safe, which is the claim the
+    bench levers rest on. The shipping train config is gated by
+    test_nerf_lego_proxy_quality_exact_backward."""
     result = _run([
         "--grid.constructor", "HashGrid.from-geometric",
         "--grid.feature-std", "1e-9",
@@ -281,7 +287,10 @@ def test_nerf_lego_proxy_quality():
     on. Calibrated on this exact config: 19.49 dB at 20 epochs (plain r3 path without
     pruning measured 19.76-19.85; the stochastic backward costs ~0.5 dB at this early
     epoch count and converges to parity — headline run, results_round4.md). Floor =
-    measured - 1; a broken fast path or compaction regression lands well under 17."""
+    measured - 1; a broken fast path or compaction regression lands well under 17.
+    (Round 5: this gates the BENCH-lever bundle — stoch backward + density early stop —
+    which is banned from the flagship train config; the shipping config is gated by
+    test_nerf_lego_proxy_quality_exact_backward.)"""
     result = _run([
         "--dataset.scene", "lego_proxy",
         "--dataset.num-views", "20",
@@ -315,7 +324,11 @@ def test_nerf_lego_proxy_quality_exact_backward():
     (round-4 erosion postmortem) — so a regression of the exact-backward path passed
     every tier. Same config as test_nerf_lego_proxy_quality with one flag flipped.
     Calibrated: 19.98 dB at 20 epochs (round-5 CPU calibration; the stoch variant of the
-    same config measured 19.49). Floor = measured - 1."""
+    same config measured 19.49). Floor = measured - 1.
+
+    Round-5 update: the shipping config trains WITHOUT density early termination (the
+    cell-peak tau cull is the erosion root cause — nerf_hash_lego_proxy.yaml); this gate
+    follows (early-stop 0.0, recalibrated 20.01 dB @20)."""
     result = _run([
         "--dataset.scene", "lego_proxy",
         "--dataset.num-views", "20",
@@ -333,7 +346,7 @@ def test_nerf_lego_proxy_quality_exact_backward():
         "--tracer.raymarch-type", "ray",
         "--tracer.num-steps", "192",
         "--tracer.compaction", "0.5",
-        "--tracer.early-stop", "0.01",
+        "--tracer.early-stop", "0.0",
         "--tracer.lod-spacing-scale", "1.0",
         "--tracer.march-stride", "2",
         "--trainer.adaptive-compaction", "true",
@@ -359,9 +372,14 @@ def test_nerf_prune_erosion_trajectory_with_sample_feedback():
     this resolution the density shell is thick relative to a cell, so the point query
     still hits it; the erosion needs the flagship's 512-res shell-thinner-than-cell
     regime, where it is demonstrated on the real chip (r5-flagship 16.72 @100 query-only
-    vs r5-flagship-fb, results_round5.md). This gate therefore guards the TRAJECTORY of
-    the shipped configuration (feedback path wired, no new erosion-class regression that
-    manifests at mini scale), not the fb/nofb discrimination itself."""
+    vs r5-flagship-fb 18.83 @75, results_round5.md). This gate therefore guards the
+    TRAJECTORY of the shipped configuration (feedback path wired, no new erosion-class
+    regression that manifests at mini scale), not the fb/nofb discrimination itself.
+
+    Round-5 root cause update: the dominant erosion vector was the TRAINING-time
+    density early termination itself (cell-peak tau_hat wrongly culls grazing rays —
+    _probe_graze_cull.py); the shipping config now trains with early-stop 0.0 and this
+    gate follows suit."""
     base = [
         "--grid.constructor", "HashGrid.from-geometric",
         "--grid.feature-std", "1e-9",
@@ -374,7 +392,7 @@ def test_nerf_prune_erosion_trajectory_with_sample_feedback():
         "--tracer.raymarch-type", "ray",
         "--tracer.num-steps", "128",
         "--tracer.compaction", "0.5",
-        "--tracer.early-stop", "0.01",
+        "--tracer.early-stop", "0.0",
         "--tracer.march-stride", "2",
         "--trainer.adaptive-compaction", "true",
         "--nef.prune-density-decay", "0.95",
