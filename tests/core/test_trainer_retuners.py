@@ -32,6 +32,9 @@ def _bare_trainer(tracer, num_rays, **cfg_kw):
     t.train_dataset = types.SimpleNamespace(transform=SampleRays(num_samples=num_rays))
     t._frac_window = []
     t._steps_since_retune = 0
+    t.iterations_per_epoch = 100
+    t.max_epochs = 100
+    t.epoch, t.iteration = 1, 0
     t.sync_pipeline = lambda: t.pipeline
     def _refresh(p):
         t.pipeline = p
@@ -165,3 +168,51 @@ def test_compaction_shrink_is_cost_aware():
     # big early shrink still goes through
     t._retune_cost_ema = None
     assert t._shrink_pays_off(0.125, 0.0625)
+
+
+def test_compaction_grow_reversing_shrink_blacklists_reshrink():
+    """Anti-flap (round 5: the r5-flagship-fb run ping-ponged 0.125<->0.177<->0.25 for
+    8 of its 15 retunes, ~21 min of tunnel recompiles). A grow that reverses a recent
+    shrink proves the shrink window under-sampled the true per-view variance: growth
+    still fires immediately (truncation hurts quality) but shrinking back below that
+    level is blacklisted for a long cooldown, so the pair can flip at most once."""
+    tracer = PackedRFTracer(num_steps=512, compaction=0.25)
+    t = _bare_trainer(tracer, 4096, adaptive_compaction=True,
+                      target_sample_size=2 ** 18, max_compacted_samples=2 ** 21)
+    total = 4096 * 512
+    retunes = []
+    orig_refresh = t.refresh_pipeline
+
+    def _counting_refresh(p):
+        retunes.append(p.tracer.compaction)
+        orig_refresh(p)
+    t.refresh_pipeline = _counting_refresh
+
+    def step(f):
+        t._prev_num_samples = f * total
+        t.calc_adaptive_compaction(4096)
+        t.iteration += 1
+        if t.iteration >= t.iterations_per_epoch:
+            t.iteration = 0
+            t.epoch += 1
+
+    # fb-run shape: a low window shrinks 0.25 -> 0.177, then one high view re-grows,
+    # then the same low window recurs — WITHOUT the blacklist this repeats forever
+    low, high = 0.085, 0.20   # 0.085*1.95=0.166 -> bucket 0.177; 0.20*1.304 -> 0.354
+    for _ in range(t.FRAC_WINDOW_STEPS + 1):
+        step(low)
+    assert t.pipeline.tracer.compaction == pytest.approx(2.0 ** -2.5)  # shrank
+    step(high)                                # reversal grow (0.354 bucket > 0.25)
+    grown = t.pipeline.tracer.compaction
+    assert grown > 2.0 ** -2.5
+    n_before = len(retunes)
+    for _ in range(8 * t.FRAC_WINDOW_STEPS):  # low stretch inside the cooldown
+        step(low)
+    assert t.pipeline.tracer.compaction == pytest.approx(grown), \
+        f"re-shrink fired inside the blacklist cooldown: {retunes}"
+    assert len(retunes) == n_before
+    # after the cooldown expires the shrink may fire again (sustained real drop)
+    for _ in range(9 * t.FRAC_WINDOW_STEPS):
+        step(low)
+    assert t.pipeline.tracer.compaction < grown, \
+        "a sustained drop must still shrink once the cooldown expires"

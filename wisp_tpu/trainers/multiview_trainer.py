@@ -80,6 +80,12 @@ class MultiviewTrainer(BaseTrainer):
     _retune_cost_ema = None   # measured s per retuned step (incl. recompile)
     _step_wall_ema = None
     _last_step_t = None
+    # anti-flap state (see calc_adaptive_compaction): last shrink origin + a floor below
+    # which shrinking is blacklisted after a grow reversed a recent shrink
+    _last_shrink_from = None
+    _last_shrink_iter = -10 ** 9
+    _shrink_floor = 0.0
+    _shrink_floor_until = -1
 
     # compaction shrink decisions use the max valid fraction over this many recent steps
     FRAC_WINDOW_STEPS = 32
@@ -247,13 +253,34 @@ class MultiviewTrainer(BaseTrainer):
         budget = _bucket(frac * 1.5 / 1.15)
         shrink_to = _bucket(frac_hi * 1.5 * self.SHRINK_MARGIN)
         if budget > current + 1e-9:
+            # Anti-flap (round 5: the r5-flagship-fb run ping-ponged 0.125<->0.177<->0.25
+            # for 8 of its 15 retunes, ~21 min of recompiles): a grow that REVERSES a
+            # recent shrink means the window-max under-sampled the true variance — growth
+            # proceeds immediately (truncation hurts quality) but shrinking back below
+            # this level is blacklisted for a long cooldown.
+            if self._last_shrink_from is not None \
+                    and budget >= self._last_shrink_from - 1e-9 \
+                    and self.total_iterations - self._last_shrink_iter \
+                    <= 4 * self.FRAC_WINDOW_STEPS:
+                self._shrink_floor = budget
+                self._shrink_floor_until = self.total_iterations \
+                    + 16 * self.FRAC_WINDOW_STEPS
+                log.info(f"adaptive compaction: grow to {budget:.4f} reverses the "
+                         f"shrink at iter {self._last_shrink_iter}; shrinks below it "
+                         f"blacklisted for {16 * self.FRAC_WINDOW_STEPS} steps")
             new_budget, why = budget, frac
         elif len(self._frac_window) >= self.FRAC_WINDOW_STEPS \
                 and self._steps_since_retune >= self.FRAC_WINDOW_STEPS \
                 and shrink_to < current - 1e-9:
+            if self.total_iterations < self._shrink_floor_until \
+                    and shrink_to < self._shrink_floor - 1e-9:
+                self._steps_since_retune = 0
+                return
             if not self._shrink_pays_off(current, shrink_to):
                 self._steps_since_retune = 0  # re-evaluate a window later, not every step
                 return
+            self._last_shrink_from = current
+            self._last_shrink_iter = self.total_iterations
             new_budget, why = shrink_to, frac_hi
         else:
             return
