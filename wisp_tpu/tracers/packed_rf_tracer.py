@@ -118,6 +118,10 @@ class PackedRFTracer(BaseTracer):
             # shrink to the VISIBLE voxel count — the slot-proportional costs (compaction
             # search, scatter-back) scale with budget. Dropped visible voxels are counted
             # in the num_overflow channel, never silent.
+            # CAUTION (round 5): like the ray-mode tau_hat cull below, this estimates
+            # optical thickness from the CELL-PEAK density and is a RENDER/BENCH lever
+            # only — long-horizon TRAINING with pruning erodes under it (grazing-ray
+            # wrong-culls, results_round5.md; _probe_graze_cull.py).
             march_kw["early_stop"] = float(early_stop)
         if march_stride and march_stride > 1 and raymarch_type in ("ray", "uniform"):
             march_kw["stride"] = int(march_stride)
@@ -128,8 +132,14 @@ class PackedRFTracer(BaseTracer):
         depths = mr.depth_samples                  # [R, S]
         mask = mr.mask                             # [R, S]
         if early_stop and early_stop > 0.0 and mr.cell_density is not None:
-            # Transmittance early termination (instant-ngp render loop semantics, applied
-            # in-training): estimate per-sample transmittance from the blas's density EMA
+            # Transmittance early termination (instant-ngp RENDER loop semantics).
+            # RENDER/BENCH lever ONLY — do not train long-horizon with this on: tau_hat
+            # charges every sample the CELL-PEAK density, so once the field sharpens
+            # into sub-voxel shells, grazing rays lose truly-visible samples (measured
+            # 12.3% of hit rays lose >10% of visible weight, _probe_graze_cull.py);
+            # those samples get no gradient and no prune feedback and the field erodes
+            # one wave per prune (the round-4/5 erosion root cause, results_round5.md).
+            # Estimate per-sample transmittance from the blas's density EMA
             # (free — it rode the occupancy gather) and cull samples the ray can no longer
             # see. Culled samples skip interpolation+decoding via the compaction budget.
             tau_hat = mr.cell_density * deltas * mask.astype(jnp.float32)
