@@ -142,3 +142,55 @@ def test_resume_auto_without_checkpoint_starts_fresh(tmp_path):
     t = _make_trainer(tmp_path, "runB", resume="auto", max_epochs=1)
     t.train()  # must not raise: auto with nothing to resume = fresh start
     assert t.epoch == 1
+
+
+def test_supervise_relaunches_on_crash(tmp_path):
+    """Round 5 (r5-flagship-noes): a transient tunnel fault surfaces as a CRASH
+    (remote_compile HTTP 500 -> JaxRuntimeError, rc=1), not a hang — the supervisor must
+    relaunch from the checkpoint exactly as for a stall kill. A clean rc=0 still returns
+    immediately, and a persistent crash burns max_restarts and exits 75."""
+    marker = str(tmp_path / "crashed_once")
+    script = _write_script(tmp_path, f"""
+        import os, sys
+        marker = {marker!r}
+        if not os.path.exists(marker):
+            open(marker, "w").write("x")
+            raise RuntimeError("transient tunnel fault")
+        sys.exit(0)
+    """)
+    hb = str(tmp_path / "hb.json")
+    rc = supervise([sys.executable, script], hb, stall_s=60.0, poll_s=0.2,
+                   max_restarts=2)
+    assert rc == 0
+    assert os.path.exists(marker)
+
+    # persistent crash: attempts exhausted -> 75
+    script2 = _write_script(tmp_path, "raise RuntimeError('deterministic bug')")
+    rc = supervise([sys.executable, script2], hb, stall_s=60.0, poll_s=0.2,
+                   max_restarts=1)
+    assert rc == 75
+
+
+def test_render_chunk_clamped_by_memory_cap():
+    """Round 5 (r5-flagship-noes): the epoch-25 validation OOM'd HBM — 32768-ray render
+    chunk x 512 steps x budget 0.25 = 4.2M compacted slots (19.05 GB / 15.75 GB chip).
+    render_view must clamp its chunk so chunk*steps*budget <= max_compacted_samples."""
+    import types
+    from wisp_tpu.tracers import PackedRFTracer
+    from wisp_tpu.trainers.multiview_trainer import (ConfigMultiviewTrainer,
+                                                     MultiviewTrainer)
+
+    t = MultiviewTrainer.__new__(MultiviewTrainer)
+    t.cfg = ConfigMultiviewTrainer(max_compacted_samples=2 ** 21)
+    pipe = types.SimpleNamespace(tracer=PackedRFTracer(num_steps=512, compaction=0.25))
+    # 2^21/(512*0.25) = 16384
+    assert t._clamp_render_chunk(32768, pipe) == 16384
+    # smaller budgets allow the full chunk
+    pipe2 = types.SimpleNamespace(tracer=PackedRFTracer(num_steps=512, compaction=0.0625))
+    assert t._clamp_render_chunk(32768, pipe2) == 32768
+    # no compaction -> no padded-slot blowup -> untouched
+    pipe3 = types.SimpleNamespace(tracer=PackedRFTracer(num_steps=512, compaction=0.0))
+    assert t._clamp_render_chunk(32768, pipe3) == 32768
+    # never clamp below 1024
+    pipe4 = types.SimpleNamespace(tracer=PackedRFTracer(num_steps=2048, compaction=1.0))
+    assert t._clamp_render_chunk(32768, pipe4) == 1024

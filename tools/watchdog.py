@@ -84,8 +84,16 @@ def supervise(cmd, heartbeat: str, stall_s: float = 900.0, max_restarts: int = 3
                 break
             time.sleep(poll_s)
         if not killed:
-            logf(f"[watchdog] child exited rc={rc}")
-            return int(rc)
+            if int(rc) == 0:
+                logf("[watchdog] child exited rc=0")
+                return 0
+            # A CRASH also deserves a relaunch: transient tunnel faults surface as
+            # exceptions (e.g. remote_compile HTTP 500 mid-run, round 5), not only as
+            # hangs — resume-auto continues from the last atomic checkpoint exactly as
+            # for a stall kill. Persistent (deterministic) crashes burn max_restarts
+            # quickly and exit 75, so a real bug still fails loudly.
+            logf(f"[watchdog] child exited rc={rc} — relaunching from the last "
+                 "checkpoint")
         attempt += 1
         if attempt > max_restarts:
             logf(f"[watchdog] restarts exhausted ({max_restarts}) — giving up")

@@ -512,6 +512,7 @@ class MultiviewTrainer(BaseTrainer):
         n = rays.origins.shape[0]
         # don't let chunk padding dwarf the actual ray count (pad to a 1024 multiple)
         chunk = min(chunk, max(1024, int(2 ** np.ceil(np.log2(max(n, 1))))))
+        chunk = self._clamp_render_chunk(chunk, pipeline)
         pad = (-n) % chunk
         origins = np.concatenate([np.asarray(rays.origins),
                                   np.zeros((pad, 3), np.float32)])
@@ -527,6 +528,22 @@ class MultiviewTrainer(BaseTrainer):
         rgb = np.concatenate([np.asarray(o.rgb) for o in outs])[:n]
         return rgb
 
+    def _clamp_render_chunk(self, chunk: int, pipeline) -> int:
+        """Clamp the render chunk so chunk * num_steps * compaction_budget never exceeds
+        the HBM-safe compacted-slot cap. Regression (round 5, r5-flagship-noes run): the
+        epoch-25 validation compiled a 32768-ray chunk at 512 steps with the budget still
+        at 0.25 -> 4.2M slots = 19.05 GB on a 15.75 GB chip; earlier runs only survived
+        because their budget had already shrunk below 0.1 by the first validation."""
+        tracer = pipeline.tracer
+        steps = getattr(tracer, "num_steps", None) or 1
+        budget = getattr(tracer, "compaction", None) or 0.0
+        if budget <= 0.0:
+            return chunk
+        cap = int(self.cfg.max_compacted_samples / (steps * budget))
+        while chunk > 1024 and chunk > cap:
+            chunk //= 2
+        return chunk
+
     def _render_view_segmented(self, pipeline, rays: Rays, chunk: int = 32768,
                                return_buffer: bool = False):
         """Segmented marching with transmittance carry + ray compaction (see render_view).
@@ -535,6 +552,7 @@ class MultiviewTrainer(BaseTrainer):
         segment opacity; compositing is the standard over operator:
         C += T * rgb_seg, T *= (1 - alpha_seg). Live rays are host-compacted into
         power-of-two buckets between segments so each bucket size compiles once."""
+        chunk = self._clamp_render_chunk(chunk, pipeline)
         segs = int(self.cfg.render_segments)
         eps = float(self.cfg.render_early_stop)
         if self._infer_seg_cache is None:
