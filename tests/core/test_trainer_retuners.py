@@ -170,6 +170,49 @@ def test_compaction_shrink_is_cost_aware():
     assert t._shrink_pays_off(0.125, 0.0625)
 
 
+def test_retune_triggers_immediate_checkpoint():
+    """Round 5: tunnel wedges cluster at the post-retune recompile, and a watchdog
+    relaunch from the periodic (pre-retune) checkpoint re-pays every retune since that
+    save (~4 min each). A tuner change to the compiled step configuration (ray bucket or
+    compaction budget) must checkpoint immediately; an unchanged configuration must not
+    re-save every window."""
+    tracer = PackedRFTracer(num_steps=512, compaction=0.25)
+    t = _bare_trainer(tracer, 4096, adaptive_compaction=True,
+                      target_sample_size=2 ** 18, max_compacted_samples=2 ** 21,
+                      checkpoint_every=5)
+    t._step_wall_ema = None
+    t._retune_cost_ema = None
+    t._last_ckpt_shape = t._step_shape()
+    saves = []
+    t.save_training_state = lambda: saves.append(t._step_shape())
+    total = 4096 * 512
+
+    # steady window (frac 0.10: rays re-bucket to the same 4096, budget 0.25 holds):
+    # no retune -> no save
+    t._prev_num_samples = 0.10 * total
+    t.calc_adaptive_rays(4096)
+    assert t._step_shape() == (4096, 0.25) and saves == []
+
+    # frac 0.22 re-buckets rays 4096->2048 and grows the budget 0.25->0.354: the step
+    # shape changed -> exactly one immediate save, capturing the NEW shape
+    t._prev_num_samples = 0.22 * total
+    t.calc_adaptive_rays(4096)
+    assert len(saves) == 1 and saves[0] == t._step_shape()
+
+    # the next identical window must not save again
+    t._prev_num_samples = 0.22 * total
+    t.calc_adaptive_rays(4096)
+    assert len(saves) == 1
+
+    # with checkpointing disabled the hook is a no-op
+    t.cfg = ConfigMultiviewTrainer(adaptive_compaction=True, checkpoint_every=-1,
+                                   target_sample_size=2 ** 18,
+                                   max_compacted_samples=2 ** 21)
+    t._prev_num_samples = 0.9 * total
+    t.calc_adaptive_rays(4096)
+    assert len(saves) == 1
+
+
 def test_compaction_grow_reversing_shrink_blacklists_reshrink():
     """Anti-flap (round 5: the r5-flagship-fb run ping-ponged 0.125<->0.177<->0.25 for
     8 of its 15 retunes, ~21 min of tunnel recompiles). A grow that reverses a recent

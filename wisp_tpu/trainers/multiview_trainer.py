@@ -110,6 +110,8 @@ class MultiviewTrainer(BaseTrainer):
         # at each prune. Single-chip only (the dp step's collectives stay gradient-only).
         self._density_feedback = False
         self._density_max_grid = None
+        # post-retune checkpoint baseline (see _checkpoint_on_retune)
+        self._last_ckpt_shape = self._step_shape()
         blas = getattr(getattr(pipeline.nef, "grid", None), "blas", None)
         if (cfg.prune_sample_feedback and mesh is None and cfg.prune_every > -1
                 and getattr(pipeline.nef, "prune_density_decay", None) is not None
@@ -159,6 +161,8 @@ class MultiviewTrainer(BaseTrainer):
                 self.pipeline.replace(tracer=tracer.replace(compaction=budget)))
         if self._density_feedback and extra.get("density_max_grid") is not None:
             self._density_max_grid = jnp.asarray(extra["density_max_grid"])
+        # the restored tuner state IS the checkpointed step shape — don't re-save it
+        self._last_ckpt_shape = self._step_shape()
 
     # -- pruning (reference :85-93) -----------------------------------------------------------
     _prune_fn = None
@@ -210,6 +214,33 @@ class MultiviewTrainer(BaseTrainer):
             self.train_dataset.transform.set_num_samples(num_rays)
         if self.cfg.adaptive_compaction:
             self.calc_adaptive_compaction(num_rays_in_batch)
+        self._checkpoint_on_retune()
+
+    def _step_shape(self):
+        """The tuner-controlled part of the compiled step configuration: a change in
+        either member forces a full step recompile on the next step."""
+        return (self.train_dataset.transform.num_samples
+                if isinstance(self.train_dataset.transform, SampleRays) else None,
+                getattr(self.pipeline.tracer, "compaction", None))
+
+    def _checkpoint_on_retune(self):
+        """Checkpoint immediately when a tuner changes the compiled step configuration
+        (ray-batch po2 bucket or compaction budget). Tunnel wedges cluster at the long
+        post-retune recompile (round-4/5 postmortems), and the periodic epoch checkpoint
+        predates the retune — a watchdog relaunch then re-pays every retune since that
+        save (~4 min of recompiles each, observed live on the r5-flagship-noes relaunch).
+        Saving the retuned tuner state NOW makes kill+relaunch resume into the already-
+        retuned configuration. No-op unless train-state checkpointing is enabled."""
+        if self.cfg.checkpoint_every <= -1:
+            return
+        shape = self._step_shape()
+        if shape == self._last_ckpt_shape:
+            return
+        self._last_ckpt_shape = shape
+        try:
+            self.save_training_state()
+        except Exception as e:  # noqa: BLE001 — a failed extra save must not kill training
+            log.warning(f"post-retune checkpoint failed ({e}); continuing")
 
     def calc_adaptive_compaction(self, num_rays_in_batch: int):
         """Retune the tracer's compaction budget to the measured valid-sample fraction
