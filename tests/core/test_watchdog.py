@@ -80,6 +80,65 @@ def test_supervise_heartbeat_keeps_child_alive(tmp_path):
     assert rc == 0
 
 
+def test_supervise_blocked_probe_extends_instead_of_killing(tmp_path):
+    """Wedge-vs-compile discrimination (round 5: a post-resume recompile ran past the
+    15-min stall and the watchdog killed a healthy compiling child). Remote compiles are
+    serialized backend-side, so a fresh-process probe BLOCKS during a legitimate compile:
+    a blocked probe must extend the stall window instead of killing. Here the child stamps
+    once, goes silent for ~3x stall_s (the 'long compile'), then finishes — with the
+    blocked probe it must survive with ZERO kills."""
+    script = _write_script(tmp_path, """
+        import os, sys, time
+        hb = os.environ["WISP_HEARTBEAT_FILE"]
+        open(hb, "w").write('{"phase": "step"}')
+        time.sleep(9)     # long compile: silent ~3x the 3-s stall window
+        open(hb, "w").write('{"phase": "done"}')
+        sys.exit(0)
+    """)
+    hb = str(tmp_path / "hb.json")
+    rc = supervise([sys.executable, script], hb, stall_s=3.0, poll_s=0.2, max_restarts=0,
+                   probe_cmd=["sleep", "60"], probe_timeout_s=0.3, max_extends=5)
+    assert rc == 0, "a blocked probe must shield a legitimately compiling child"
+    assert json.load(open(hb))["phase"] == "done"
+
+
+def test_supervise_healthy_probe_confirms_wedge_and_kills(tmp_path):
+    """The probe completing fast means the backend serves fresh clients — the silent
+    child is truly wedged and must be killed+relaunched despite max_extends remaining."""
+    marker = str(tmp_path / "first_attempt_ran")
+    script = _write_script(tmp_path, f"""
+        import os, sys, time
+        marker = {marker!r}
+        hb = os.environ["WISP_HEARTBEAT_FILE"]
+        open(hb, "w").write('{{"phase": "boot"}}')
+        if not os.path.exists(marker):
+            open(marker, "w").write("x")
+            time.sleep(300)   # true wedge
+        open(hb, "w").write('{{"phase": "ok"}}')
+        sys.exit(0)
+    """)
+    hb = str(tmp_path / "hb.json")
+    rc = supervise([sys.executable, script], hb, stall_s=15.0, poll_s=0.2, max_restarts=2,
+                   probe_cmd=["true"], probe_timeout_s=5.0, max_extends=5)
+    assert rc == 0
+    assert os.path.exists(marker)
+    assert json.load(open(hb))["phase"] == "ok"
+
+
+def test_supervise_blocked_probe_extends_are_bounded(tmp_path):
+    """A dead backend also blocks the probe; extends are capped so the supervisor still
+    kills eventually rather than stalling forever."""
+    script = _write_script(tmp_path, """
+        import os, time
+        open(os.environ["WISP_HEARTBEAT_FILE"], "w").write('{"phase": "boot"}')
+        time.sleep(300)
+    """)
+    hb = str(tmp_path / "hb.json")
+    rc = supervise([sys.executable, script], hb, stall_s=2.0, poll_s=0.2, max_restarts=0,
+                   probe_cmd=["sleep", "60"], probe_timeout_s=0.3, max_extends=2)
+    assert rc == 75  # extends exhausted -> kill -> restarts exhausted
+
+
 def _make_trainer(tmp_path, run_name, seed=0, max_epochs=4, resume=None):
     from app.image.main_image import make_test_image
     from wisp_tpu.models.grids import HashGrid

@@ -50,13 +50,49 @@ def _kill_group(proc: subprocess.Popen, logf) -> None:
         logf("[watchdog] child did not reap within 30 s after SIGKILL")
 
 
+# A fresh-process tiny jit: on the remote-TPU backend compiles are serialized, so this
+# BLOCKS (→ timeout) while a legitimate long compile holds the slot, and completes in
+# seconds during a socket wedge (round 4 measured the backend serving fresh clients fine
+# for the whole 27-min wedge). That asymmetry is the wedge-vs-compile discriminator.
+DEFAULT_PROBE = [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jax.jit(lambda x: x + 1)(jnp.ones(()))))"]
+
+
+def _backend_healthy(probe_cmd, timeout_s: float, logf) -> bool:
+    """True iff a fresh process finishes the probe within ``timeout_s`` — the backend is
+    serving new clients, so a silent child is wedged, not compiling."""
+    try:
+        rc = subprocess.run(list(map(str, probe_cmd)), timeout=timeout_s,
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL).returncode
+    except subprocess.TimeoutExpired:
+        logf(f"[watchdog] probe timed out after {timeout_s:.0f} s — compile slot busy")
+        return False
+    except OSError as e:
+        logf(f"[watchdog] probe failed to launch ({e}) — treating as inconclusive")
+        return False
+    if rc != 0:
+        logf(f"[watchdog] probe exited rc={rc} — treating as inconclusive")
+        return False
+    return True
+
+
 def supervise(cmd, heartbeat: str, stall_s: float = 900.0, max_restarts: int = 3,
-              poll_s: float = 5.0, env=None, logf=None, stdout=None) -> int:
+              poll_s: float = 5.0, env=None, logf=None, stdout=None,
+              probe_cmd=None, probe_timeout_s: float = 120.0,
+              max_extends: int = 3) -> int:
     """Run ``cmd`` under heartbeat supervision; kill + relaunch on staleness.
 
     Returns the child's exit code, or 75 when ``max_restarts`` relaunches were consumed
     without a clean exit. ``heartbeat`` staleness is measured against the file's mtime
-    (or the launch time until the first stamp appears)."""
+    (or the launch time until the first stamp appears).
+
+    ``probe_cmd``: before a staleness kill, run this command in a fresh process. If it
+    completes within ``probe_timeout_s`` the backend is healthy → the silent child is
+    truly wedged → kill. If it blocks/fails, the (serialized) compile slot is busy — the
+    child is most likely inside a long legitimate compile (post-resume recompiles can
+    exceed the stall window) → extend the window, at most ``max_extends`` times per
+    launch, then kill anyway so a dead backend cannot stall the supervisor forever."""
     logf = logf or (lambda m: print(m, file=sys.stderr, flush=True))
     env = dict(env or os.environ)
     env["WISP_HEARTBEAT_FILE"] = heartbeat
@@ -67,6 +103,8 @@ def supervise(cmd, heartbeat: str, stall_s: float = 900.0, max_restarts: int = 3
         proc = subprocess.Popen(list(map(str, cmd)), env=env, start_new_session=True,
                                 stdout=stdout, stderr=None)
         killed = False
+        extends_used = 0
+        extended_t = 0.0
         while True:
             rc = proc.poll()
             if rc is not None:
@@ -75,8 +113,16 @@ def supervise(cmd, heartbeat: str, stall_s: float = 900.0, max_restarts: int = 3
                 last = os.path.getmtime(heartbeat)
             except OSError:
                 last = launch_t
-            last = max(last, launch_t)
+            last = max(last, launch_t, extended_t)
             if time.time() - last > stall_s:
+                if (probe_cmd and extends_used < max_extends
+                        and not _backend_healthy(probe_cmd, probe_timeout_s, logf)):
+                    extends_used += 1
+                    extended_t = time.time()
+                    logf(f"[watchdog] heartbeat stale but the backend probe is blocked "
+                         f"— child likely mid-compile; extending stall window "
+                         f"({extends_used}/{max_extends})")
+                    continue
                 logf(f"[watchdog] heartbeat stale for {time.time() - last:.0f} s "
                      f"(> {stall_s:.0f}) — killing process group and relaunching")
                 _kill_group(proc, logf)
@@ -109,6 +155,13 @@ def main(argv=None):
     ap.add_argument("--heartbeat", default=None,
                     help="heartbeat file path (default: a fresh temp file)")
     ap.add_argument("--poll", type=float, default=5.0)
+    ap.add_argument("--probe", default="default",
+                    help="pre-kill backend probe command (shell-split); 'default' = a "
+                         "tiny fresh-process jit, 'none' disables the probe")
+    ap.add_argument("--probe-timeout", type=float, default=120.0)
+    ap.add_argument("--max-extends", type=int, default=3,
+                    help="max stall-window extensions per launch while the probe is "
+                         "blocked (a long compile holds the serialized compile slot)")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- followed by the command to supervise")
     args = ap.parse_args(argv)
@@ -119,8 +172,16 @@ def main(argv=None):
         ap.error("no command given (pass it after --)")
     hb = args.heartbeat or os.path.join(tempfile.gettempdir(),
                                         f"wisp_hb_{os.getpid()}.json")
+    if args.probe == "none":
+        probe = None
+    elif args.probe == "default":
+        probe = DEFAULT_PROBE
+    else:
+        import shlex
+        probe = shlex.split(args.probe)
     return supervise(cmd, hb, stall_s=args.stall, max_restarts=args.max_restarts,
-                     poll_s=args.poll)
+                     poll_s=args.poll, probe_cmd=probe,
+                     probe_timeout_s=args.probe_timeout, max_extends=args.max_extends)
 
 
 if __name__ == "__main__":
