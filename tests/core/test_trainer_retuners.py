@@ -177,40 +177,52 @@ def test_retune_triggers_immediate_checkpoint():
     compaction budget) must checkpoint immediately; an unchanged configuration must not
     re-save every window."""
     tracer = PackedRFTracer(num_steps=512, compaction=0.25)
-    t = _bare_trainer(tracer, 4096, adaptive_compaction=True,
+    t = _bare_trainer(tracer, 4096, adaptive_compaction=False,
                       target_sample_size=2 ** 18, max_compacted_samples=2 ** 21,
                       checkpoint_every=5)
-    t._step_wall_ema = None
-    t._retune_cost_ema = None
-    t._last_ckpt_shape = t._step_shape()
+    t._ckpt_shapes_seen = {t._step_shape()}
     saves = []
     t.save_training_state = lambda: saves.append(t._step_shape())
     total = 4096 * 512
 
-    # steady window (frac 0.10: rays re-bucket to the same 4096, budget 0.25 holds):
-    # no retune -> no save
+    # steady window (frac 0.10 re-buckets rays to the same 4096): no retune -> no save
     t._prev_num_samples = 0.10 * total
     t.calc_adaptive_rays(4096)
     assert t._step_shape() == (4096, 0.25) and saves == []
 
-    # frac 0.22 re-buckets rays 4096->2048 and grows the budget 0.25->0.354: the step
-    # shape changed -> exactly one immediate save, capturing the NEW shape
+    # frac 0.22 re-buckets rays 4096 -> 2048: a NEVER-compiled step shape -> exactly one
+    # immediate save, capturing the new shape
     t._prev_num_samples = 0.22 * total
     t.calc_adaptive_rays(4096)
-    assert len(saves) == 1 and saves[0] == t._step_shape()
+    assert len(saves) == 1 and saves[0] == (2048, 0.25)
 
     # the next identical window must not save again
     t._prev_num_samples = 0.22 * total
     t.calc_adaptive_rays(4096)
     assert len(saves) == 1
 
+    # a flip BACK to an already-compiled shape is a jit-cache hit — no compile at risk,
+    # no save — and so is every later oscillation between the two buckets (regression:
+    # the ray bucket straddling a po2 edge across views flooded ~6 saves/min on the live
+    # flagship run)
+    for frac in (0.10, 0.22, 0.10, 0.22):
+        t._prev_num_samples = frac * total
+        t.calc_adaptive_rays(4096)
+    assert len(saves) == 1, "oscillation between seen shapes must not checkpoint"
+
+    # a budget change to a fresh shape still saves (the compaction dimension)
+    t.refresh_pipeline(t.pipeline.replace(tracer.replace(compaction=0.125)))
+    t._prev_num_samples = 0.10 * total
+    t.calc_adaptive_rays(4096)
+    assert len(saves) == 2 and saves[1][1] == 0.125
+
     # with checkpointing disabled the hook is a no-op
-    t.cfg = ConfigMultiviewTrainer(adaptive_compaction=True, checkpoint_every=-1,
+    t.cfg = ConfigMultiviewTrainer(adaptive_compaction=False, checkpoint_every=-1,
                                    target_sample_size=2 ** 18,
                                    max_compacted_samples=2 ** 21)
     t._prev_num_samples = 0.9 * total
     t.calc_adaptive_rays(4096)
-    assert len(saves) == 1
+    assert len(saves) == 2
 
 
 def test_compaction_grow_reversing_shrink_blacklists_reshrink():

@@ -110,8 +110,13 @@ class MultiviewTrainer(BaseTrainer):
         # at each prune. Single-chip only (the dp step's collectives stay gradient-only).
         self._density_feedback = False
         self._density_max_grid = None
-        # post-retune checkpoint baseline (see _checkpoint_on_retune)
-        self._last_ckpt_shape = self._step_shape()
+        # post-retune checkpoint baseline (see _checkpoint_on_retune): shapes already
+        # compiled this process — only a NEVER-seen shape implies a fresh (expensive)
+        # compile worth checkpointing before. A retuner flipping between two already-
+        # cached shapes (e.g. the ray bucket straddling a po2 edge across views) is a
+        # jit-cache HIT and must not trigger saves (observed live: a save flood every
+        # retune window, ~6/min, on the r5-flagship-noes run).
+        self._ckpt_shapes_seen = {self._step_shape()}
         blas = getattr(getattr(pipeline.nef, "grid", None), "blas", None)
         if (cfg.prune_sample_feedback and mesh is None and cfg.prune_every > -1
                 and getattr(pipeline.nef, "prune_density_decay", None) is not None
@@ -162,7 +167,7 @@ class MultiviewTrainer(BaseTrainer):
         if self._density_feedback and extra.get("density_max_grid") is not None:
             self._density_max_grid = jnp.asarray(extra["density_max_grid"])
         # the restored tuner state IS the checkpointed step shape — don't re-save it
-        self._last_ckpt_shape = self._step_shape()
+        self._ckpt_shapes_seen = {self._step_shape()}
 
     # -- pruning (reference :85-93) -----------------------------------------------------------
     _prune_fn = None
@@ -224,19 +229,21 @@ class MultiviewTrainer(BaseTrainer):
                 getattr(self.pipeline.tracer, "compaction", None))
 
     def _checkpoint_on_retune(self):
-        """Checkpoint immediately when a tuner changes the compiled step configuration
-        (ray-batch po2 bucket or compaction budget). Tunnel wedges cluster at the long
-        post-retune recompile (round-4/5 postmortems), and the periodic epoch checkpoint
-        predates the retune — a watchdog relaunch then re-pays every retune since that
-        save (~4 min of recompiles each, observed live on the r5-flagship-noes relaunch).
-        Saving the retuned tuner state NOW makes kill+relaunch resume into the already-
-        retuned configuration. No-op unless train-state checkpointing is enabled."""
+        """Checkpoint immediately when a tuner moves the step to a NEVER-yet-compiled
+        configuration (ray-batch po2 bucket or compaction budget). Tunnel wedges cluster
+        at the long fresh-compile that follows (round-4/5 postmortems), and the periodic
+        epoch checkpoint predates the retune — a watchdog relaunch then re-pays every
+        retune since that save (~4 min of recompiles each). Saving the retuned tuner
+        state NOW makes kill+relaunch resume into the already-retuned configuration.
+        Flips between already-cached shapes are jit-cache hits — no compile at risk, no
+        save (a live run flooded ~6 saves/min when the ray bucket straddled a po2 edge).
+        No-op unless train-state checkpointing is enabled."""
         if self.cfg.checkpoint_every <= -1:
             return
         shape = self._step_shape()
-        if shape == self._last_ckpt_shape:
+        if shape in self._ckpt_shapes_seen:
             return
-        self._last_ckpt_shape = shape
+        self._ckpt_shapes_seen.add(shape)
         try:
             self.save_training_state()
         except Exception as e:  # noqa: BLE001 — a failed extra save must not kill training
