@@ -38,12 +38,25 @@ class PackedRFTracer(BaseTracer):
                  early_stop: float = 0.0,
                  lod_spacing_scale: float = 0.0,
                  march_budget: int = 1024,
-                 march_stride: int = 1):
+                 march_stride: int = 1,
+                 seg_early_stop: float = 0.0,
+                 seg_count: int = 4):
         super().__init__(bg_color=bg_color)
         self.raymarch_type = raymarch_type
         self.num_steps = num_steps
         self.step_size = step_size
         self.compaction = compaction
+        # Segmented TRUE-transmittance early termination (round 5, the unbiased
+        # TRAINING-admissible cull designed in perf_playbook.md): decode the march in
+        # `seg_count` depth segments carrying the EXACT accumulated optical depth of
+        # already-decoded samples between them; samples on rays whose true transmittance
+        # fell below `seg_early_stop` are culled before interpolation/decoding. Unlike
+        # the cell-peak tau_hat estimate (`early_stop`, the erosion root cause —
+        # results_round5.md), the cull criterion here is the ray's own decoded optical
+        # depth — the same rule the compositor applies — so a truly-visible sample can
+        # never be culled; dropped samples have weight < seg_early_stop. 0 = off.
+        self.seg_early_stop = seg_early_stop
+        self.seg_count = seg_count
         # voxel-mode per-ray fine-sample cap: the marcher keeps the first
         # march_budget//num_steps occupied voxels per ray (reference semantics: ALL
         # intersected voxels; far voxels past the cap are usually occluded)
@@ -83,6 +96,7 @@ class PackedRFTracer(BaseTracer):
               lod_idx=None, raymarch_type="voxel", num_steps=64, step_size=1.0,
               bg_color=(1.0, 1.0, 1.0), key=None, compaction=None, early_stop=None,
               lod_spacing_scale=None, march_budget=None, march_stride=None,
+              seg_early_stop=None, seg_count=None,
               density_feedback=False):
         assert nef.grid is not None, "this tracer requires a grid"
         n = rays.origins.shape[0]
@@ -147,12 +161,30 @@ class PackedRFTracer(BaseTracer):
             mask = mask & (t_hat > early_stop)
         s = samples.shape[1]
 
-        flat = samples.reshape(n * s, 3)
-        ray_d = jnp.broadcast_to(rays.dirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
         # One nef invocation covers rgb+density AND every extra channel (reference
         # packed_rf_tracer.py:167-179 re-queries per channel; here channel dispatch batches
         # them so extra channels ride the same grid interpolation + compaction budget).
         req_channels = ["rgb", "density", *extra_channels]
+
+        seg_on = seg_early_stop and seg_early_stop > 0.0 and seg_count \
+            and int(seg_count) > 1
+        if seg_on:
+            if early_stop and early_stop > 0.0:
+                raise ValueError(
+                    "seg_early_stop (unbiased segmented training cull) and early_stop "
+                    "(cell-peak tau_hat render lever) are mutually exclusive — the "
+                    "tau_hat estimate is the erosion root cause (results_round5.md)")
+            if not (compaction and compaction > 0.0):
+                raise ValueError("seg_early_stop requires compaction > 0 (the cull's "
+                                 "savings are realized through the compaction budget)")
+            return self._trace_segmented(
+                nef, rays, channels, extra_channels, req_channels, lod_idx,
+                max_compute_lod, mr, samples, deltas, depths, mask, n,
+                float(compaction), float(seg_early_stop), int(seg_count), bg_color,
+                density_feedback)
+
+        flat = samples.reshape(n * s, 3)
+        ray_d = jnp.broadcast_to(rays.dirs[:, None, :], (n, s, 3)).reshape(n * s, 3)
         if compaction and compaction > 0.0:
             # Sample compaction: the fixed-shape analog of the reference's packed-sample
             # culling (octree_as.py fast_filter_method, :21-34) — only occupied samples pay
@@ -248,6 +280,130 @@ class PackedRFTracer(BaseTracer):
                             num_valid_samples=num_valid,
                             num_overflow=mr.num_overflow,
                             density_max_grid=density_max_grid, **extra_outputs)
+
+    def _trace_segmented(self, nef, rays, channels, extra_channels, req_channels,
+                         lod_idx, max_compute_lod, mr, samples, deltas, depths, mask,
+                         n, compaction, eps, seg_count, bg_color, density_feedback):
+        """Segmented TRUE-transmittance training cull (perf_playbook.md design note;
+        the training-admissible analog of the reference renderer's early ray termination,
+        reference wisp/tracers/packed_rf_tracer.py:137-165 composited over one packed
+        stream — here a lax.scan over G depth segments with the exact accumulated optical
+        depth carried between them).
+
+        Each segment g: cull samples on rays whose true transmittance
+        T = exp(-acc_tau) <= eps (their weights are < eps by construction — the cull
+        criterion is the ray's own decoded optical depth, the rule the compositor itself
+        applies, so unlike the cell-peak tau_hat estimate it cannot drop a visible
+        sample); step-major compact the survivors into a per-segment budget
+        ceil(n*S_g*compaction); decode ONE nef call; integrate with transmittance
+        continued from acc_tau; advance acc_tau. Gradients flow through acc_tau across
+        segments, so the backward is exact for every decoded sample.
+
+        One scan body = one compiled segment (compile time stays ~flat in G); budgets are
+        uniform per segment, so the adaptive compaction budget must cover the PEAK
+        per-segment valid fraction — emitted as ``seg_frac_max`` (the trainer's retuner
+        keys off it; overflow is counted in ``num_overflow``, never silent)."""
+        from wisp_tpu.ops.compaction import masked_compact_indices
+
+        g_cnt = int(seg_count)
+        s_total = samples.shape[1]
+        s_g = -(-s_total // g_cnt)  # ceil
+        pad = g_cnt * s_g - s_total
+        if pad:
+            samples = jnp.pad(samples, ((0, 0), (0, pad), (0, 0)))
+            deltas = jnp.pad(deltas, ((0, 0), (0, pad)))
+            depths = jnp.pad(depths, ((0, 0), (0, pad)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        budget = int(np.ceil(n * s_g * float(compaction) / 128.0)) * 128
+        budget = min(budget, n * s_g)
+        tau_cap = -float(np.log(eps))
+
+        # [n, G*S_g] -> [G, n, S_g] (segment-major for the scan)
+        seg = lambda a, tail: a.reshape((n, g_cnt, s_g) + tail).swapaxes(0, 1)
+        xs = {"samples": seg(samples, (3,)), "deltas": seg(deltas, ()),
+              "depths": seg(depths, ()), "mask": seg(mask, ())}
+
+        ray_d = jnp.broadcast_to(rays.dirs[:, None, :], (n, s_g, 3)).reshape(n * s_g, 3)
+
+        fb_grid = None
+        resb = None
+        fb_level = None
+        if density_feedback:
+            blas = getattr(nef.grid, "blas", None)
+            fb_level = getattr(blas, "max_level", None)
+            if fb_level is not None and getattr(blas, "occ_grid", None) is not None:
+                resb = 2 ** fb_level
+                fb_grid = jnp.zeros((resb ** 3,), jnp.float32)
+
+        def body(carry, x):
+            acc_tau, fb = carry
+            live = acc_tau < tau_cap                              # T > eps
+            m = x["mask"] & live[:, None]                         # [n, S_g]
+            valid = jnp.sum(m.astype(jnp.float32))
+            idx_t = masked_compact_indices(m.T, budget)           # [S_g, n] step-major
+            idx = jnp.where(idx_t < n * s_g,
+                            (idx_t % n) * s_g + (idx_t // n), n * s_g)
+            flat = x["samples"].reshape(n * s_g, 3)
+            safe = jnp.minimum(idx, n * s_g - 1)
+            cflat = jnp.take(flat, safe, axis=0)
+            cray_d = jnp.take(ray_d, safe, axis=0)
+            out = nef(channels=req_channels, coords=cflat, ray_d=cray_d,
+                      lod_idx=lod_idx, max_compute_lod=max_compute_lod)
+
+            def scatter_back(v):                                  # [B, C] -> [n, S_g, C]
+                v2 = v.reshape(v.shape[0], -1)
+                cols = [jnp.zeros((n * s_g,), v2.dtype).at[idx].set(v2[:, c],
+                                                                    mode="drop")
+                        for c in range(v2.shape[-1])]
+                return jnp.stack(cols, axis=-1).reshape(n, s_g, v2.shape[-1])
+
+            color = scatter_back(out["rgb"])
+            density = scatter_back(out["density"])[..., 0]
+            tau = density * x["deltas"] * m.astype(density.dtype)
+            sum_prev = jnp.cumsum(tau, axis=-1) - tau             # exclusive, in-segment
+            w = jnp.exp(-(acc_tau[:, None] + sum_prev)) * (1.0 - jnp.exp(-tau))
+            ys = {
+                "rgb": jnp.sum(w[..., None] * color, axis=1),     # [n, 3]
+                "alpha": jnp.sum(w, axis=-1),                     # [n]
+                "depth": jnp.sum(w * x["depths"], axis=-1),       # [n]
+                "valid": valid,
+                "overflow": jnp.maximum(valid - float(budget), 0.0),
+                "frac": valid / float(n * s_g),
+            }
+            for ch in extra_channels:
+                f = scatter_back(out[ch])
+                ys["x_" + ch] = jnp.sum(w[..., None] * f, axis=1)
+            if fb is not None:
+                fb_valid = idx < n * s_g
+                from wisp_tpu.ops.spc import quantize_points_jnp
+                fb_q = quantize_points_jnp(cflat, fb_level)
+                fb_ids = (fb_q[:, 0] * resb + fb_q[:, 1]) * resb + fb_q[:, 2]
+                fb_ids = jnp.where(fb_valid, fb_ids, resb ** 3)
+                fb_d = jnp.where(fb_valid, out["density"][:, 0], 0.0)
+                fb = fb.at[fb_ids].max(
+                    jax.lax.stop_gradient(fb_d.astype(jnp.float32)), mode="drop")
+            acc_tau = acc_tau + jnp.sum(tau, axis=-1)
+            return (acc_tau, fb), ys
+
+        carry0 = (jnp.zeros((n,), jnp.float32), fb_grid)
+        (_, fb_grid), ys = jax.lax.scan(body, carry0, xs)
+
+        ray_colors = jnp.sum(ys["rgb"], axis=0)                   # [n, 3]
+        alpha = jnp.sum(ys["alpha"], axis=0)[:, None]             # [n, 1]
+        bg = jnp.asarray(bg_color, dtype=ray_colors.dtype)
+        rgb = bg[None, :] * (1.0 - alpha) + ray_colors
+        hit = alpha[..., 0] > 0.0
+        depth = jnp.sum(ys["depth"], axis=0)[:, None] if "depth" in channels else None
+        extra_outputs = {ch: alpha * jnp.sum(ys["x_" + ch], axis=0)
+                         for ch in extra_channels}
+        num_overflow = jnp.sum(ys["overflow"])
+        if mr.num_overflow is not None:
+            num_overflow = num_overflow + mr.num_overflow
+        return RenderBuffer(depth=depth, hit=hit[:, None], rgb=rgb, alpha=alpha,
+                            num_valid_samples=jnp.sum(ys["valid"]),
+                            num_overflow=num_overflow,
+                            seg_frac_max=jnp.max(ys["frac"]),
+                            density_max_grid=fb_grid, **extra_outputs)
 
     def public_properties(self) -> Dict[str, Any]:
         return {

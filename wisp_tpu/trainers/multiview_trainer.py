@@ -101,6 +101,7 @@ class MultiviewTrainer(BaseTrainer):
         self.validation_dataset = validation_dataset
         self.scene_state.graph.cameras = dict(train_dataset.cameras)
         self._prev_num_samples = None
+        self._prev_seg_frac_max = None
         # trailing valid-fraction window for compaction shrink decisions (see
         # calc_adaptive_compaction — single-step shrink caused training collapse)
         self._frac_window = []
@@ -261,6 +262,11 @@ class MultiviewTrainer(BaseTrainer):
         current = tracer.compaction or 0.0
         total = max(num_rays_in_batch, 1) * tracer.num_steps
         frac = self._prev_num_samples / total
+        if getattr(self, "_prev_seg_frac_max", None) is not None:
+            # segmented training cull: per-segment budgets are uniform, so the budget
+            # must cover the PEAK segment's valid fraction (packed_rf_tracer
+            # _trace_segmented), not the global mean fraction
+            frac = self._prev_seg_frac_max
         # Valid fraction varies per VIEW; sizing the budget off a single step's fraction
         # shrank into that variance and truncated subsequent steps (collapse observed at
         # epoch ~44: 41 dB -> 21 dB). Growth stays immediate (driven by the current step);
@@ -425,7 +431,14 @@ class MultiviewTrainer(BaseTrainer):
         # one packed stats vector: the host fetches ONE array per step instead of three
         # scalars (each fetch is a tunnel round trip). Under dp this is pmean'd per
         # dp_shard_map's aux rule; step() rescales the count element by mesh size.
-        host_stats = jnp.stack([loss, rgb_loss, num_valid_samples])
+        # With the segmented training cull active, the tracer also emits the PEAK
+        # per-segment valid fraction (uniform per-segment budgets must cover the peak,
+        # not the mean — calc_adaptive_compaction keys off it); it rides as a 4th entry.
+        stats_list = [loss, rgb_loss, num_valid_samples]
+        seg_frac = getattr(rb, "seg_frac_max", None)
+        if seg_frac is not None:
+            stats_list.append(seg_frac)
+        host_stats = jnp.stack(stats_list)
         aux = {"rgb_loss": rgb_loss, "opacity_loss": opacity_loss,
                "num_valid_samples": num_valid_samples, "host_stats": host_stats}
         if getattr(rb, "num_overflow", None) is not None:
@@ -509,6 +522,9 @@ class MultiviewTrainer(BaseTrainer):
         self.tracker.metrics.rgb_loss += float(s[1])
         # host_stats is pmean'd over dp shards; num_valid_samples is a global count
         self._prev_num_samples = (float(s[2]) * n_mesh) or None
+        # peak per-segment valid fraction (segmented training cull; shard-mean under dp —
+        # shards are random ray subsets so their per-segment fractions track closely)
+        self._prev_seg_frac_max = float(s[3]) if len(s) > 3 else None
         self.calc_adaptive_rays(num_rays)
 
     def _flush_stats(self):
