@@ -109,6 +109,17 @@ def main():
     # @25 -> 19.91 @75 on the real chip). Default OFF so the headline number matches the
     # flagship-quality config; BENCH_STOCH=1 measures the short-run/throughput lever.
     stoch_grad = os.environ.get("BENCH_STOCH", "0") == "1"
+    # Segmented TRUE-transmittance training cull (round 5, packed_rf_tracer
+    # _trace_segmented): the UNBIASED training-admissible early termination. Only bites
+    # on a trained field (densities start ~0 -> nothing saturates), so measure it with
+    # BENCH_PRETRAINED pointing at a converged checkpoint (e.g. the r5-flagship-noes
+    # model.ckpt) — that is the honest steady-state training-throughput regime.
+    seg_eps = float(os.environ.get("BENCH_SEG_EPS", 0.0))
+    seg_count = int(os.environ.get("BENCH_SEG", 4))
+    # BENCH_PRETRAINED=<model.ckpt>: bench train steps on a TRAINED pipeline (its own
+    # pruned blas + learned weights) instead of the fresh synthetic-scene pipeline; the
+    # tracer is still rebuilt from the bench knobs.
+    pretrained = os.environ.get("BENCH_PRETRAINED", "")
 
     if sparse:
         # steady-state training occupancy: sparse blas carved to the synthetic scene
@@ -151,21 +162,32 @@ def main():
     def build_and_time(blas_in, compaction_in, early_stop_in):
         """Build the flagship pipeline on ``blas_in`` and time ``iters`` full train steps.
         Returns (rays/s, compile_s, loss, aux)."""
-        grid = HashGrid.from_geometric(blas=blas_in, feature_dim=2, num_lods=num_lods,
-                                       multiscale_type="cat", feature_std=1e-9,
-                                       codebook_bitwidth=bitwidth, min_grid_res=16,
-                                       max_grid_res=512, dense_lod_matmul=dense_matmul,
-                                       stoch_grad=stoch_grad,
-                                       key=jax.random.PRNGKey(1))
-        nef = NeuralRadianceField(grid=grid, view_embedder="positional", view_multires=4,
-                                  hidden_dim=64, num_layers=1, bias=True,
-                                  key=jax.random.PRNGKey(2))
+        if pretrained:
+            from wisp_tpu.trainers import load_pipeline
+            nef = load_pipeline(pretrained).nef
+            if getattr(nef.grid, "stoch_grad", None) is not None \
+                    and nef.grid.stoch_grad != stoch_grad:
+                nef = nef.replace(grid=nef.grid.replace(stoch_grad=stoch_grad))
+        else:
+            grid = HashGrid.from_geometric(blas=blas_in, feature_dim=2,
+                                           num_lods=num_lods,
+                                           multiscale_type="cat", feature_std=1e-9,
+                                           codebook_bitwidth=bitwidth, min_grid_res=16,
+                                           max_grid_res=512,
+                                           dense_lod_matmul=dense_matmul,
+                                           stoch_grad=stoch_grad,
+                                           key=jax.random.PRNGKey(1))
+            nef = NeuralRadianceField(grid=grid, view_embedder="positional",
+                                      view_multires=4,
+                                      hidden_dim=64, num_layers=1, bias=True,
+                                      key=jax.random.PRNGKey(2))
         tracer = PackedRFTracer(raymarch_type=raymarch_type, num_steps=num_steps,
                                 bg_color=(0.0, 0.0, 0.0), compaction=compaction_in,
                                 early_stop=early_stop_in,
                                 lod_spacing_scale=lod_spacing_scale,
                                 march_budget=march_budget,
-                                march_stride=march_stride)
+                                march_stride=march_stride,
+                                seg_early_stop=seg_eps, seg_count=seg_count)
         pipeline = Pipeline(nef=nef, tracer=tracer)
 
         cfg = ConfigMultiviewTrainer(
@@ -235,6 +257,8 @@ def main():
             "early_stop": early_stop, "dense_matmul": dense_matmul,
             "lod_spacing_scale": lod_spacing_scale, "march_stride": march_stride,
             "stoch_grad": stoch_grad,
+            "seg_early_stop": seg_eps, "seg_count": seg_count if seg_eps > 0 else None,
+            "pretrained": pretrained or None,
             "valid_sample_frac": round(float(aux.get("num_valid_samples", 0.0))
                                        / (num_rays * samples_per_ray), 4),
             # voxel-mode honesty: rays whose visible occupied voxels exceeded march_budget
@@ -257,11 +281,66 @@ def main():
     # the conservative pre-steady-state compaction budget the trainer's adaptive loop
     # starts from. The headline stays the steady-state number (the regime the trainer is
     # in for most of a run); this rides along so the artifact is self-describing.
-    if bench_cold and sparse and mesh is None:
+    if bench_cold and sparse and mesh is None and not pretrained:
         cold_rays_per_sec, _, _, _, _ = build_and_time(
             blas_cold, max(compaction, 0.0625) if compaction else 0.0, early_stop)
         result["detail"]["cold_start_rays_per_sec"] = round(cold_rays_per_sec, 1)
         _emit(result)
+
+
+def _preempt_leaseholder():
+    """Evict a watchdog-supervised long run from the single tunneled chip.
+
+    The driver's end-of-round ``bench.py`` is the highest-priority measurement; a
+    training run still holding the chip would serialize compiles against it and wedge
+    the bench past its deadline (the round-4 ``BENCH_r04.json`` null). Supervised runs
+    advertise {supervisor pid, child pid} in a lease file (tools/watchdog.py); this
+    kills pid-targeted — NEVER by name pattern — supervisor first so the kill is not
+    answered with a relaunch. The evicted run loses nothing durable: it checkpoints
+    atomically and resumes via ``--trainer.resume auto``. Disable with BENCH_PREEMPT=0.
+    """
+    import signal
+    lease_path = os.environ.get("WISP_CHIP_LEASE", "/tmp/wisp_chip_lease.json")
+    if os.environ.get("BENCH_PREEMPT", "1") == "0" or not os.path.exists(lease_path):
+        return
+
+    def _cmdline(pid):
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                return fh.read().decode("utf-8", "replace")
+        except OSError:
+            return None
+
+    try:
+        with open(lease_path) as fh:
+            lease = json.load(fh)
+    except (OSError, ValueError):
+        return
+    sup, child = lease.get("supervisor"), lease.get("child")
+    # pid-reuse guard: only kill pids that still look like the lease's processes
+    sup_cmd = _cmdline(sup) if sup else None
+    if sup_cmd is not None and "watchdog" in sup_cmd:
+        print(f"bench: preempting chip leaseholder (supervisor pid {sup})",
+              file=sys.stderr, flush=True)
+        try:
+            os.kill(int(sup), signal.SIGKILL)
+        except (OSError, TypeError):
+            pass
+    child_cmd = _cmdline(child) if child else None
+    if child_cmd is not None and "python" in child_cmd:
+        print(f"bench: preempting chip leaseholder (child pid {child})",
+              file=sys.stderr, flush=True)
+        try:
+            os.killpg(os.getpgid(int(child)), signal.SIGKILL)
+        except (OSError, TypeError):
+            try:
+                os.kill(int(child), signal.SIGKILL)
+            except (OSError, TypeError):
+                pass
+    try:
+        os.unlink(lease_path)
+    except OSError:
+        pass
 
 
 def _read_last_line(path):
@@ -287,6 +366,7 @@ def _supervised():
     import signal
     import subprocess
 
+    _preempt_leaseholder()
     deadline = time.time() + float(os.environ.get("BENCH_DEADLINE", 420))
     attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", 300))
     progress = os.path.join(tempfile.gettempdir(), f"wisp_bench_{os.getpid()}.jsonl")

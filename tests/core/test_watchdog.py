@@ -253,3 +253,78 @@ def test_render_chunk_clamped_by_memory_cap():
     # never clamp below 1024
     pipe4 = types.SimpleNamespace(tracer=PackedRFTracer(num_steps=2048, compaction=1.0))
     assert t._clamp_render_chunk(32768, pipe4) == 1024
+
+
+def test_lease_written_while_supervising_and_cleared_on_exit(tmp_path, monkeypatch):
+    """A supervised run advertises {supervisor, child} pids in the chip-lease file so a
+    higher-priority measurement (the driver's end-of-round bench) can preempt it
+    pid-targeted; every supervise() exit path must clear the lease."""
+    import tools.watchdog as wd
+    lease = str(tmp_path / "lease.json")
+    monkeypatch.setattr(wd, "LEASE_FILE", lease)
+    seen = str(tmp_path / "lease_seen.json")
+    hb = str(tmp_path / "hb.json")
+    script = _write_script(tmp_path, f"""
+        import json, os, shutil, time
+        open(os.environ["WISP_HEARTBEAT_FILE"], "w").write("x")
+        for _ in range(50):
+            if os.path.exists({lease!r}):
+                shutil.copy({lease!r}, {seen!r})
+                break
+            time.sleep(0.1)
+    """)
+    rc = wd.supervise([sys.executable, script], hb, stall_s=30.0, poll_s=0.2,
+                      max_restarts=0)
+    assert rc == 0
+    content = json.load(open(seen))
+    assert content["supervisor"] == os.getpid()
+    assert isinstance(content["child"], int)
+    assert not os.path.exists(lease)  # cleared on clean exit
+
+
+def test_bench_preempts_leaseholder_pid_targeted(tmp_path, monkeypatch):
+    """bench.py._preempt_leaseholder kills the lease's supervisor+child (and only
+    processes whose /proc cmdline still matches) then removes the lease."""
+    import signal
+    import subprocess
+    import bench
+
+    # a fake supervised child: sleeps forever in its own session
+    child = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(600)"],
+                             start_new_session=True)
+    # an INNOCENT process listed as supervisor: its cmdline is not a watchdog, so the
+    # pid-reuse guard must leave it alive rather than kill a recycled pid
+    innocent = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(600)"])
+
+    # on this contended single-core box the children may not have exec'd yet — wait
+    # until /proc cmdline shows the real argv or the cmdline guard will skip them
+    def _wait_exec(pid):
+        import time as _t
+        for _ in range(100):
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    if b"time.sleep" in fh.read():
+                        return
+            except OSError:
+                return
+            _t.sleep(0.05)
+
+    _wait_exec(child.pid)
+    _wait_exec(innocent.pid)
+    lease = tmp_path / "lease.json"
+    lease.write_text(json.dumps({"supervisor": innocent.pid, "child": child.pid}))
+    monkeypatch.setenv("WISP_CHIP_LEASE", str(lease))
+    bench._preempt_leaseholder()
+    try:
+        assert child.wait(timeout=10) != 0  # SIGKILLed (cmdline matches 'python')
+        assert innocent.poll() is None      # guard skipped the non-watchdog pid
+    finally:
+        for p in (child, innocent):
+            if p.poll() is None:
+                p.kill()
+    assert not lease.exists()
+    # BENCH_PREEMPT=0 disables eviction
+    lease.write_text(json.dumps({"supervisor": None, "child": None}))
+    monkeypatch.setenv("BENCH_PREEMPT", "0")
+    bench._preempt_leaseholder()
+    assert lease.exists()

@@ -34,6 +34,34 @@ import tempfile
 import time
 
 
+# Chip lease: the single tunneled chip is a mutually-exclusive resource. Every supervised
+# long run advertises {supervisor pid, child pid} here so a higher-priority measurement
+# (the driver's end-of-round `bench.py`) can preempt it pid-targeted — supervisor first,
+# so the kill is not answered with a relaunch. See bench.py `_preempt_leaseholder`.
+LEASE_FILE = os.environ.get("WISP_CHIP_LEASE", "/tmp/wisp_chip_lease.json")
+
+
+def _write_lease(child_pid: int) -> None:
+    try:
+        import json
+        with open(LEASE_FILE, "w") as fh:
+            json.dump({"supervisor": os.getpid(), "child": int(child_pid),
+                       "ts": time.time()}, fh)
+    except OSError:
+        pass
+
+
+def _clear_lease() -> None:
+    """Remove the lease only if it still names this supervisor."""
+    try:
+        import json
+        with open(LEASE_FILE) as fh:
+            if json.load(fh).get("supervisor") == os.getpid():
+                os.unlink(LEASE_FILE)
+    except (OSError, ValueError):
+        pass
+
+
 def _kill_group(proc: subprocess.Popen, logf) -> None:
     """SIGKILL the child's whole process group by pgid (never by name pattern)."""
     try:
@@ -96,12 +124,22 @@ def supervise(cmd, heartbeat: str, stall_s: float = 900.0, max_restarts: int = 3
     logf = logf or (lambda m: print(m, file=sys.stderr, flush=True))
     env = dict(env or os.environ)
     env["WISP_HEARTBEAT_FILE"] = heartbeat
+    try:
+        return _supervise_loop(cmd, stall_s, max_restarts, poll_s, env, logf, stdout,
+                               probe_cmd, probe_timeout_s, max_extends, heartbeat)
+    finally:
+        _clear_lease()  # every exit path releases the chip lease
+
+
+def _supervise_loop(cmd, stall_s, max_restarts, poll_s, env, logf, stdout,
+                    probe_cmd, probe_timeout_s, max_extends, heartbeat) -> int:
     attempt = 0
     while True:
         launch_t = time.time()
         logf(f"[watchdog] launch attempt {attempt + 1}: {' '.join(map(str, cmd))}")
         proc = subprocess.Popen(list(map(str, cmd)), env=env, start_new_session=True,
                                 stdout=stdout, stderr=None)
+        _write_lease(proc.pid)
         killed = False
         extends_used = 0
         extended_t = 0.0

@@ -58,6 +58,12 @@ class ASRaymarchResults:
 class BaseAS:
     """Acceleration structure interface (reference base_as.py:87-167)."""
 
+    # Accel structures are scene topology/occupancy state, never optimizer parameters:
+    # the whole subtree (octree words, occupancy bitfields, density EMA fields) is
+    # excluded from the trainable split (utils/filter.py buffer_paths). The reference
+    # never registers its SPC tensors as nn.Parameters either.
+    __trainable__ = False
+
     def query(self, coords, level=None, with_parents: bool = False) -> ASQueryResults:
         raise NotImplementedError
 

@@ -18,6 +18,10 @@ class BLASGrid(Module):
 
     blas = None  # set by subclasses
 
+    # ``occupancy`` is the pruning density EMA (NeuralRadianceField.prune), a buffer —
+    # updated by the jitted prune, never by the optimizer (utils/filter.py buffer_paths).
+    __buffers__ = ("occupancy",)
+
     @classmethod
     def supported_blas(cls):
         """Which acceleration structures this grid can use (reference blas_grid.py:29-35)."""

@@ -86,9 +86,38 @@ def restore_checkpoint(trainer, path: str) -> None:
         with ocp.StandardCheckpointer() as ckptr:
             state = ckptr.restore(path, jax.device_get(template))
 
-    trainer._diff = {k: jax.numpy.asarray(v) for k, v in state["diff"].items()}
-    trainer._nondiff = {k: jax.numpy.asarray(v) for k, v in state["nondiff"].items()}
-    trainer.opt_state = jax.tree_util.tree_map(jax.numpy.asarray, state["opt_state"])
+    # Re-split restored leaves by the trainer's CURRENT TreeSpec rather than the
+    # checkpoint's: the diff/nondiff boundary is code (buffer markers in
+    # utils/filter.py), not state, so a checkpoint written before a leaf was
+    # reclassified (e.g. blas.cell_density / grid.occupancy moving to buffers) must
+    # restore into the new layout or the step would donate/optimize stale paths.
+    merged = {**state["nondiff"], **state["diff"]}
+    spec = trainer._spec
+    missing = [k for k in spec.paths if k not in merged]
+    if missing:
+        raise ValueError(f"checkpoint is missing leaves {missing[:5]} — "
+                         "was it written for a different pipeline topology?")
+    trainer._diff = {k: jax.numpy.asarray(merged[k]) for k in spec.diff}
+    trainer._nondiff = {k: jax.numpy.asarray(merged[k]) for k in spec.nondiff}
+    opt_state = state["opt_state"]
+    ckpt_keys, cur_keys = set(state["diff"]), set(spec.diff)
+    if ckpt_keys != cur_keys:
+        if cur_keys <= ckpt_keys:
+            # leaves left the trainable set: drop their optimizer moments, keep the rest
+            def _is_param_dict(n):
+                return isinstance(n, dict) and set(n) == ckpt_keys
+
+            opt_state = jax.tree_util.tree_map(
+                lambda n: {k: n[k] for k in cur_keys} if _is_param_dict(n) else n,
+                opt_state, is_leaf=_is_param_dict)
+            log.info("restore: dropped optimizer state for reclassified buffer paths %s",
+                     sorted(ckpt_keys - cur_keys))
+        else:
+            # new trainable leaves have no moments — a fresh init is the only safe option
+            log.warning("restore: trainable set gained paths %s — reinitializing "
+                        "optimizer state", sorted(cur_keys - ckpt_keys))
+            opt_state = trainer.optimizer.init(trainer._diff)
+    trainer.opt_state = jax.tree_util.tree_map(jax.numpy.asarray, opt_state)
     trainer.epoch = int(state["meta"]["epoch"])
     trainer.iteration = int(state["meta"]["iteration"])
     trainer._key = jax.numpy.asarray(state["meta"]["key"])

@@ -27,17 +27,72 @@ def is_inexact_array(x) -> bool:
     return isinstance(x, (jax.Array, np.ndarray)) and jnp.issubdtype(x.dtype, jnp.inexact)
 
 
+def _child(obj, key):
+    """Follow one tree_util key entry down the object graph (best-effort)."""
+    try:
+        if isinstance(key, jtu.GetAttrKey):
+            return getattr(obj, key.name, None)
+        if isinstance(key, jtu.SequenceKey):
+            return obj[key.idx]
+        if isinstance(key, jtu.DictKey):
+            return obj[key.key]
+    except (TypeError, IndexError, KeyError):
+        return None
+    return None  # FlattenedIndexKey etc.: opaque — stop descending
+
+
+def buffer_paths(tree) -> frozenset:
+    """Paths of leaves that are non-trainable *buffers*.
+
+    Float arrays are trainable by default (the reference marks parameters via
+    ``nn.Parameter``; our pytree modules have no registry), so modules opt OUT:
+
+    * a class with ``__trainable__ = False`` marks its whole subtree as buffers
+      (accel structures: octree words, occupancy bitfields, density EMA fields);
+    * a class listing attr names in ``__buffers__`` marks just those attrs
+      (e.g. ``BLASGrid.occupancy`` — the pruning density EMA).
+
+    Without this, structural float state leaks into the optimizer (wasted Adam
+    moments, zero-grad bytes on the dp all-reduce) and — worse — gets DONATED by
+    the jitted train step, deleting arrays the caller may share across pipelines
+    (measured: bench cold phase crashed on the shared blas ``cell_density``).
+    """
+    flat, _ = jtu.tree_flatten_with_path(tree)
+    out = set()
+    for path, _leaf in flat:
+        obj = tree
+        is_buf = getattr(type(obj), "__trainable__", True) is False
+        for key in path:
+            if not is_buf and isinstance(key, jtu.GetAttrKey) \
+                    and key.name in getattr(type(obj), "__buffers__", ()):
+                is_buf = True
+                break
+            obj = _child(obj, key)
+            if obj is None:
+                break
+            if getattr(type(obj), "__trainable__", True) is False:
+                is_buf = True
+                break
+        if is_buf:
+            out.add(jtu.keystr(path))
+    return frozenset(out)
+
+
 class TreeSpec:
     """Frozen flattening of a module tree: treedef + leaf paths, with the leaves split into
-    (diff, nondiff) path-keyed dicts."""
+    (diff, nondiff) path-keyed dicts. Leaves marked as buffers (``__trainable__`` /
+    ``__buffers__``, see :func:`buffer_paths`) go to nondiff regardless of dtype."""
 
-    def __init__(self, tree, pred: Callable[[Any], bool] = is_inexact_array):
+    def __init__(self, tree, pred: Callable[[Any], bool] = is_inexact_array,
+                 respect_buffers: bool = True):
         flat, self.treedef = jtu.tree_flatten_with_path(tree)
         self.paths = tuple(jtu.keystr(p) for p, _ in flat)
+        bufs = buffer_paths(tree) if respect_buffers else frozenset()
         self.diff: Dict[str, Any] = {}
         self.nondiff: Dict[str, Any] = {}
         for path, (_, leaf) in zip(self.paths, flat):
-            (self.diff if pred(leaf) else self.nondiff)[path] = leaf
+            (self.diff if pred(leaf) and path not in bufs
+             else self.nondiff)[path] = leaf
 
     def unflatten(self, diff: Dict[str, Any], nondiff: Dict[str, Any] = None):
         nondiff = self.nondiff if nondiff is None else nondiff
